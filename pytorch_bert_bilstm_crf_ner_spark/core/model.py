@@ -1,0 +1,178 @@
+"""Deterministic fixed-weight tagger (test/bench path, no model download).
+
+Shape mirrors the reference's embedding-only model variant
+(``NormalNerModel``, `bert_ner_model.py:87-194`): char-id embedding ->
+linear tag logits -> CRF Viterbi decode -> BIOES span FSM.  CRF parameters
+are initialized uniform(-0.1, 0.1) exactly like `layers/CRF.py:45-52`
+(order: start_transitions, end_transitions, transitions) from a pinned
+seed, so the Spark UDF and the single-process parity oracle decode
+identically — the P/R >= 0.95 gate is exact by construction.
+
+A gazetteer prior is added to the emissions (high score on the BIOES tags
+of dictionary-mention spans) so the decoded mentions are meaningful inputs
+for the downstream linking/canonicalization/relations stages, standing in
+for a trained encoder.  Char tokenization keeps the reference's invariant
+``len(tokens) == len(text)`` (`preprocess.py:92-94`), so label offsets are
+char offsets.
+
+A real-BERT path would swap :meth:`DeterministicTagger.emissions` for a
+broadcast-weight transformers forward inside the same Arrow-batched UDF;
+everything downstream (Viterbi, FSM, offsets) is unchanged.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .cut import cut_sent_for_bert
+from .decode import Span, bioes_decode_flat
+from .tags import CNER_TYPES, build_tag_vocab, invert_vocab
+from .viterbi import viterbi_decode_batch
+
+# Aliases drawn from the synthetic corpus vocabulary; multi-word aliases
+# exercise multi-char B/I...E spans (incl. the space chars as I- tags).
+DEFAULT_GAZETTEER: tuple[tuple[str, str], ...] = (
+    ("hash join", "PRO"),
+    ("table scan", "PRO"),
+    ("order key", "ORG"),
+    ("small window", "LOC"),
+    ("spark", "ORG"),
+    ("stream", "ORG"),
+    ("customer", "NAME"),
+    ("vector", "NAME"),
+    ("hash", "PRO"),
+    ("merge", "PRO"),
+    ("window", "LOC"),
+    ("line", "LOC"),
+    ("query", "TITLE"),
+    ("filter", "TITLE"),
+    ("batch", "EDU"),
+    ("sort", "EDU"),
+    ("key", "RACE"),
+    ("agg", "CONT"),
+)
+
+
+@dataclass(frozen=True)
+class TaggerConfig:
+    seed: int = 20221
+    emb_dim: int = 32
+    vocab_size: int = 4099          # char codepoint hash buckets
+    max_seq_len: int = 128          # reference default 150/256 family
+    noise_scale: float = 0.5        # amplitude of the random emission part
+    o_bias: float = 1.0             # prior toward O off-dictionary
+    boost: float = 8.0              # gazetteer prior strength
+    types: tuple[str, ...] = CNER_TYPES
+    gazetteer: tuple[tuple[str, str], ...] = DEFAULT_GAZETTEER
+    scheme: str = "BIOES"
+
+
+class DeterministicTagger:
+    """Seeded weights; stateless after construction; picklable by closure
+    (reconstructed per executor python worker from the small config)."""
+
+    def __init__(self, cfg: TaggerConfig | None = None) -> None:
+        self.cfg = cfg or TaggerConfig()
+        c = self.cfg
+        self.ent2id = build_tag_vocab(c.types, c.scheme)
+        self.id2ent = invert_vocab(self.ent2id)
+        self.num_tags = len(self.ent2id)
+        rng = np.random.RandomState(c.seed)
+        self.embedding = rng.uniform(
+            -0.5, 0.5, (c.vocab_size, c.emb_dim)).astype(np.float32)
+        self.linear_w = rng.uniform(
+            -0.5, 0.5, (c.emb_dim, self.num_tags)).astype(np.float32)
+        self.linear_b = rng.uniform(-0.1, 0.1, self.num_tags).astype(np.float32)
+        # CRF init order exactly as layers/CRF.py:50-52
+        self.start_transitions = rng.uniform(-0.1, 0.1, self.num_tags).astype(np.float32)
+        self.end_transitions = rng.uniform(-0.1, 0.1, self.num_tags).astype(np.float32)
+        self.transitions = rng.uniform(
+            -0.1, 0.1, (self.num_tags, self.num_tags)).astype(np.float32)
+        # longest-alternative-first so the regex picks the longest match
+        alts = sorted((a for a, _ in c.gazetteer), key=len, reverse=True)
+        self._gaz_re = re.compile(
+            r"(?<![a-z0-9])(" + "|".join(re.escape(a) for a in alts) + r")(?![a-z0-9])"
+        )
+        self._gaz_type = dict(c.gazetteer)
+
+    # ------------------------------------------------------------------ #
+
+    def _piece(self, text: str) -> list[str]:
+        """Cut to <= max_seq_len - 2 chars: reference tiered sentence cut
+        first (`cutSentences.py:24-58`), then hard char-chunking for text
+        with no punctuation (concat invariant preserved)."""
+        limit = self.cfg.max_seq_len - 2
+        pieces: list[str] = []
+        for p in cut_sent_for_bert(text, self.cfg.max_seq_len):
+            if len(p) <= limit:
+                pieces.append(p)
+            else:
+                pieces.extend(p[i : i + limit] for i in range(0, len(p), limit))
+        return pieces
+
+    def emissions(self, texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+        """Vectorized over the batch: one embedding gather + one matmul for
+        all chars of all rows, then the gazetteer prior per row."""
+        c = self.cfg
+        lengths = np.fromiter((len(t) for t in texts), dtype=np.int64, count=len(texts))
+        if np.any(lengths == 0):
+            raise ValueError("empty text reached the tagger; filter upstream")
+        flat = "".join(texts)
+        ids = np.frombuffer(flat.encode("utf-32-le"), dtype=np.uint32) % c.vocab_size
+        logits = self.embedding[ids] @ self.linear_w + self.linear_b
+        logits = (c.noise_scale * np.tanh(logits)).astype(np.float32)
+
+        B, Lmax = len(texts), int(lengths.max())
+        em = np.zeros((B, Lmax, self.num_tags), dtype=np.float32)
+        em[:, :, 0] = c.o_bias
+        offsets = np.concatenate(([0], np.cumsum(lengths)))
+        for b, text in enumerate(texts):
+            L = lengths[b]
+            em[b, :L, :] += logits[offsets[b] : offsets[b] + L]
+            for m in self._gaz_re.finditer(text):
+                s, e = m.start(), m.end()
+                etype = self._gaz_type[m.group(1)]
+                if e - s == 1:
+                    em[b, s, self.ent2id[f"S-{etype}"]] += c.boost
+                else:
+                    em[b, s, self.ent2id[f"B-{etype}"]] += c.boost
+                    em[b, s + 1 : e - 1, self.ent2id[f"I-{etype}"]] += c.boost
+                    em[b, e - 1, self.ent2id[f"E-{etype}"]] += c.boost
+        return em, lengths
+
+    def tag_ids(self, texts: list[str]) -> list[list[int]]:
+        em, lengths = self.emissions(texts)
+        return viterbi_decode_batch(
+            em, lengths, self.start_transitions, self.transitions, self.end_transitions
+        )
+
+    def tag_batch(self, texts: list[str]) -> list[list[Span]]:
+        """Tag a batch of turn texts -> per-turn [(mention, start, type)].
+
+        Long texts are cut (reference `predict.py:12-53` batch shape), each
+        piece decoded, and piece-local offsets rebased by cumulative piece
+        length — the ``merge_with_loc`` semantics of `scripts/server.py:74-85`.
+        All pieces of all rows go through ONE Viterbi batch.
+        """
+        pieces: list[str] = []
+        owner: list[tuple[int, int]] = []  # (row, piece char start in row text)
+        for b, text in enumerate(texts):
+            if not text:
+                continue
+            pos = 0
+            for p in self._piece(text):
+                if p:
+                    pieces.append(p)
+                    owner.append((b, pos))
+                pos += len(p)
+        out: list[list[Span]] = [[] for _ in texts]
+        if not pieces:
+            return out
+        tag_seqs = self.tag_ids(pieces)
+        for (b, base), piece, seq in zip(owner, pieces, tag_seqs):
+            for mention, start, etype in bioes_decode_flat(seq, piece, self.id2ent):
+                out[b].append((mention, base + start, etype))
+        return out

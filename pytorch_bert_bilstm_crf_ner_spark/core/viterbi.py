@@ -1,0 +1,103 @@
+"""Batched, mask-aware linear-chain CRF Viterbi decode in numpy.
+
+Re-implements the max-product dynamic program of the reference's CRF layer
+(`layers/CRF.py:243-308`: ``viterbi_compute_score`` + backtrace in
+``viterbi_path_generation``; runtime path uses pip ``torchcrf`` with an
+attention mask, see `bert_ner_model.py:281`).  The whole Arrow batch is
+decoded with (batch, tags, tags) broadcasting — no per-row Python in the
+forward DP; the backtrace is vectorized across the batch per time step.
+
+Tie-breaking: ``np.argmax`` takes the FIRST maximal index; the same
+convention is used by both the Spark UDF and the single-process parity
+oracle, so decodes are identical at any parallelism.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def viterbi_decode_batch(
+    emissions: np.ndarray,
+    lengths: np.ndarray,
+    start_transitions: np.ndarray,
+    transitions: np.ndarray,
+    end_transitions: np.ndarray,
+) -> list[list[int]]:
+    """Decode a padded batch.
+
+    Parameters
+    ----------
+    emissions : float32 array of shape (B, Lmax, T)
+        Per-token tag scores; rows padded beyond ``lengths`` are ignored.
+    lengths : int array of shape (B,), every entry >= 1
+    start_transitions, end_transitions : (T,)
+    transitions : (T, T); ``transitions[i, j]`` scores tag i -> tag j.
+
+    Returns
+    -------
+    list of per-row best tag-id paths (python ints), row b has
+    ``lengths[b]`` entries.
+    """
+    emissions = np.asarray(emissions, dtype=np.float32)
+    lengths = np.asarray(lengths, dtype=np.int64)
+    B, Lmax, T = emissions.shape
+    if np.any(lengths < 1) or np.any(lengths > Lmax):
+        raise ValueError("lengths must be in [1, Lmax]")
+
+    # Forward DP — score[b, j] = best score of any path over the first i+1
+    # valid tokens of row b ending in tag j.
+    score = start_transitions[None, :] + emissions[:, 0, :]
+    history = np.zeros((B, Lmax, T), dtype=np.int32)
+    trans = transitions[None, :, :]
+    for i in range(1, Lmax):
+        live = lengths > i
+        if not live.any():
+            break
+        # (B, T_prev, T_cur)
+        cand = score[:, :, None] + trans + emissions[:, i, None, :]
+        best_prev = np.argmax(cand, axis=1).astype(np.int32)  # (B, T)
+        new_score = np.take_along_axis(
+            cand, best_prev[:, None, :].astype(np.int64), axis=1
+        )[:, 0, :]
+        score = np.where(live[:, None], new_score, score)
+        history[:, i, :] = best_prev
+
+    score = score + end_transitions[None, :]
+    last_tag = np.argmax(score, axis=1).astype(np.int64)  # (B,)
+
+    # Backtrace, vectorized across the batch: walk time steps from the end;
+    # a row only participates while i <= its last valid index.
+    tags = np.zeros((B, Lmax), dtype=np.int64)
+    rows = np.arange(B)
+    tags[rows, lengths - 1] = last_tag
+    cur = last_tag.copy()
+    for i in range(Lmax - 1, 0, -1):
+        stepping = i <= lengths - 1
+        prev = history[rows, i, cur]
+        cur = np.where(stepping, prev, cur)
+        if stepping.any():
+            tags[stepping, i - 1] = cur[stepping]
+
+    return [tags[b, : lengths[b]].tolist() for b in range(B)]
+
+
+def viterbi_decode_brute(
+    emissions: np.ndarray,
+    start_transitions: np.ndarray,
+    transitions: np.ndarray,
+    end_transitions: np.ndarray,
+) -> list[int]:
+    """Exhaustive-enumeration reference for unit tests (single row, tiny T/L)."""
+    from itertools import product
+
+    L, T = emissions.shape
+    best_path, best_score = None, -np.inf
+    for path in product(range(T), repeat=L):
+        s = start_transitions[path[0]] + emissions[0, path[0]]
+        for i in range(1, L):
+            s += transitions[path[i - 1], path[i]] + emissions[i, path[i]]
+        s += end_transitions[path[-1]]
+        if s > best_score:
+            best_score, best_path = s, path
+    return list(best_path)
