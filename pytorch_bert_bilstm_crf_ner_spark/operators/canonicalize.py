@@ -1,0 +1,106 @@
+"""Entity canonicalization: connected components over the alias-sharing
+graph, as iterative DataFrame min-label propagation (A7 per SURVEY.md
+§2.6; the reference's only analog is exact-string dedupe, `scripts/
+server.py:60-72` / `data_augment/aug.py:55-56` — component grouping is the
+north_star upgrade).
+
+Implementation notes for scale: plain min-label propagation converges in
+O(graph diameter) rounds; alias-sharing graphs are unions of stars
+(diameter <= 2 per shared alias, chains only when an entity shares several
+aliases), so a small ``max_iter`` suffices.  Each round is one shuffle on
+``id``; ``localCheckpoint`` truncates lineage so plans don't grow.  For
+adversarial long-chain graphs swap in large-star/small-star (same DataFrame
+primitives, O(log n) rounds) — the loop structure below is unchanged.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def connected_components(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    max_iter: int = 25,
+) -> DataFrame:
+    """edges(src bigint, dst bigint), undirected -> (id, component) with
+    component = min id reachable.  ``vertices(id)`` adds isolated nodes."""
+    sym = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .union(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .distinct()
+    )
+    verts = sym.select(F.col("a").alias("id")).distinct()
+    if vertices is not None:
+        verts = verts.union(vertices.select(F.col("id"))).distinct()
+    comp = verts.withColumn("component", F.col("id")).localCheckpoint()
+
+    for _ in range(max_iter):
+        # neighbor's current label flows along each edge
+        msgs = sym.join(comp, sym.b == comp.id, "inner").select(
+            F.col("a").alias("id"), "component"
+        )
+        new_comp = (
+            comp.select("id", "component")
+            .union(msgs)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+        ).localCheckpoint()
+        changed = (
+            new_comp.alias("n")
+            .join(comp.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        comp = new_comp
+        if changed == 0:
+            break
+    return comp
+
+
+def canonical_entities(entity_dict: DataFrame, max_iter: int = 25) -> DataFrame:
+    """entity_dict -> (entity_id, canonical_id, canonical_name): entities
+    sharing an (alias, type) key are merged; canonical_name is the name of
+    the component's min entity_id."""
+    edges = (
+        entity_dict.groupBy("alias", "type")
+        .agg(
+            F.min("entity_id").alias("src"),
+            F.collect_set("entity_id").alias("ids"),
+        )
+        .select("src", F.explode("ids").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+    verts = entity_dict.select(F.col("entity_id").alias("id")).distinct()
+    comp = connected_components(edges, verts, max_iter)
+    names = entity_dict.select("entity_id", "canonical_name").distinct()
+    return (
+        comp.withColumnRenamed("id", "entity_id")
+        .withColumnRenamed("component", "canonical_id")
+        .join(
+            F.broadcast(
+                names.withColumnRenamed("entity_id", "canonical_id")
+                .withColumnRenamed("canonical_name", "canon_name")
+                .dropDuplicates(["canonical_id"])
+            ),
+            "canonical_id",
+        )
+        .select("entity_id", "canonical_id", F.col("canon_name").alias("canonical_name"))
+    )
+
+
+def canonicalize_mentions(linked: DataFrame, canon: DataFrame) -> DataFrame:
+    """Linked mentions -> canonical mentions, deduping rows that collapse
+    to the same (conv, turn, start, mention, canonical_id) — exactly the
+    oracle's `core/oracle.py::canonicalize` semantics."""
+    return (
+        linked.drop("canonical_name")
+        .join(F.broadcast(canon), "entity_id")
+        .select(
+            "conv_id", "turn_idx", "mention", "start", "type",
+            "canonical_id", "canonical_name",
+        )
+        .dropDuplicates(["conv_id", "turn_idx", "start", "mention", "canonical_id"])
+    )

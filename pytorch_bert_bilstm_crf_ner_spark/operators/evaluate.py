@@ -1,0 +1,67 @@
+"""Span-exact evaluation as DataFrame joins (J1 + A1-A3 per SURVEY.md).
+
+The reference's nested-loop span match (`utils/metricsUtils.py:11-28`) and
+per-type metric accumulation (`main.py:99-114`) become one inner join and
+two anti joins on the span key, then a hash aggregation per type — the
+positional zip of preds to callbacks (`main.py:101,147`) is replaced by
+carrying (conv_id, turn_idx) keys through the pipeline.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+SPAN_KEY = ["conv_id", "turn_idx", "mention", "start", "type"]
+
+
+def span_metrics_by_type(pred: DataFrame, gold: DataFrame) -> DataFrame:
+    """-> (type, tp, fp, fn) — one row per entity type."""
+    tp = pred.join(gold, SPAN_KEY, "left_semi").groupBy("type").agg(
+        F.count(F.lit(1)).alias("tp")
+    )
+    fp = pred.join(gold, SPAN_KEY, "left_anti").groupBy("type").agg(
+        F.count(F.lit(1)).alias("fp")
+    )
+    fn = gold.join(pred, SPAN_KEY, "left_anti").groupBy("type").agg(
+        F.count(F.lit(1)).alias("fn")
+    )
+    types = (
+        pred.select("type").union(gold.select("type")).distinct()
+    )
+    return (
+        types.join(tp, "type", "left")
+        .join(fp, "type", "left")
+        .join(fn, "type", "left")
+        .na.fill(0, ["tp", "fp", "fn"])
+    )
+
+
+def micro_prf_row(metrics_by_type: DataFrame) -> DataFrame:
+    """-> single row (tp, fp, fn, precision, recall, f1) — micro average
+    (`metricsUtils.py:31-35`, `main.py:113-114`)."""
+    agg = metrics_by_type.agg(
+        F.sum("tp").alias("tp"), F.sum("fp").alias("fp"), F.sum("fn").alias("fn")
+    )
+    p = F.when(F.col("tp") + F.col("fp") > 0, F.col("tp") / (F.col("tp") + F.col("fp"))).otherwise(F.lit(0.0))
+    r = F.when(F.col("tp") + F.col("fn") > 0, F.col("tp") / (F.col("tp") + F.col("fn"))).otherwise(F.lit(0.0))
+    out = agg.withColumn("precision", p).withColumn("recall", r)
+    f1 = F.when(
+        F.col("precision") + F.col("recall") > 0,
+        2 * F.col("precision") * F.col("recall") / (F.col("precision") + F.col("recall")),
+    ).otherwise(F.lit(0.0))
+    return out.withColumn("f1", f1)
+
+
+def triple_metrics(pred: DataFrame, gold: DataFrame) -> dict:
+    """Exact-match triple P/R on (subj, pred, obj, conv_id) — the
+    north_rule P/R >= 0.95 gate."""
+    key = ["subj", "pred", "obj", "conv_id"]
+    p_cnt = pred.select(*key).distinct().count()
+    g_cnt = gold.select(*key).distinct().count()
+    tp = pred.select(*key).distinct().join(gold.select(*key).distinct(), key, "left_semi").count()
+    precision = tp / p_cnt if p_cnt else 0.0
+    recall = tp / g_cnt if g_cnt else 0.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    return {"tp": tp, "pred": p_cnt, "gold": g_cnt,
+            "precision": precision, "recall": recall, "f1": f1}

@@ -1,0 +1,145 @@
+"""Relation extraction -> (subj, pred, obj) triples.
+
+Two patterns, both keyed (no positional zips — reference J2 replaced by
+key-carrying joins):
+
+- **Adjacency (J4)** — generalization of `predict_gdcq.py:97-120`
+  ``post_process``: consecutive decoded mentions within a turn (ordered by
+  start via a (conv_id, turn_idx) window = the reference's sort at
+  `predict_gdcq.py:109`), left type outside the object set, right type
+  inside it, no sentence punctuation strictly between them
+  (`predict_gdcq.py:115`), both sides linked, distinct canonical ids.
+- **Co-occurrence** — linked mentions within ``window`` turns ahead in the
+  same conversation.  Implemented as a pure EQUI-join: the left side
+  explodes its turn_idx into (turn_idx .. turn_idx+window) probe keys, so
+  Catalyst gets a hash-joinable (conv_id, turn) key instead of a range
+  predicate — at 100 TB a theta/range join over hot conversations would be
+  the bottleneck; the explode costs only (window+1)x on the small mentions
+  relation and AQE skew-split handles hot conv_ids.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from ..core.oracle import RelationConfig
+
+_SEP_PATTERN = "[，,。！!？?]"
+
+
+def adjacent_relations(
+    mentions: DataFrame,
+    canonical_mentions: DataFrame,
+    transcripts: DataFrame,
+    cfg: RelationConfig = RelationConfig(),
+) -> DataFrame:
+    """-> (conv_id, subj, pred, obj, turn_idx) evidence rows (with
+    multiplicity; aggregate in :func:`triples`)."""
+    w = Window.partitionBy("conv_id", "turn_idx").orderBy("start")
+    m = (
+        mentions.withColumn("nxt_mention", F.lead("mention").over(w))
+        .withColumn("nxt_start", F.lead("start").over(w))
+        .withColumn("nxt_type", F.lead("type").over(w))
+        .filter(
+            (~F.col("type").isin(*cfg.adjacent_object_types))
+            & F.col("nxt_type").isin(*cfg.adjacent_object_types)
+        )
+    )
+    # fetch the between-text from the turn (substring is 1-based)
+    m = m.join(
+        transcripts.select("conv_id", "turn_idx", "text"),
+        ["conv_id", "turn_idx"],
+    ).withColumn(
+        "between",
+        F.expr("substring(text, start + length(mention) + 1, nxt_start - start - length(mention))"),
+    ).filter(~F.col("between").rlike(_SEP_PATTERN))
+
+    left = canonical_mentions.select(
+        "conv_id", "turn_idx", "start", "mention",
+        F.col("canonical_id").alias("l_cid"),
+        F.col("canonical_name").alias("l_name"),
+    )
+    right = canonical_mentions.select(
+        "conv_id", "turn_idx",
+        F.col("start").alias("nxt_start"),
+        F.col("mention").alias("nxt_mention"),
+        F.col("canonical_id").alias("r_cid"),
+        F.col("canonical_name").alias("r_name"),
+    )
+    return (
+        m.join(left, ["conv_id", "turn_idx", "start", "mention"])
+        .join(right, ["conv_id", "turn_idx", "nxt_start", "nxt_mention"])
+        .filter(F.col("l_cid") != F.col("r_cid"))
+        .select(
+            "conv_id",
+            F.col("l_name").alias("subj"),
+            F.lit(cfg.adjacent_pred).alias("pred"),
+            F.col("r_name").alias("obj"),
+            "turn_idx",
+        )
+    )
+
+
+def cooccurrence_relations(
+    canonical_mentions: DataFrame,
+    cfg: RelationConfig = RelationConfig(),
+) -> DataFrame:
+    """Directed earlier->later pairs within the turn window, as evidence
+    rows (conv_id, subj, pred, obj, turn_idx = earlier turn)."""
+    W = cfg.cooccur_window
+    probe = canonical_mentions.select(
+        "conv_id",
+        F.col("turn_idx").alias("src_turn"),
+        F.col("start").alias("src_start"),
+        F.col("canonical_id").alias("src_cid"),
+        F.col("canonical_name").alias("subj"),
+        F.explode(
+            F.sequence(F.col("turn_idx"), F.col("turn_idx") + W)
+        ).alias("probe_turn"),
+    )
+    build = canonical_mentions.select(
+        "conv_id",
+        F.col("turn_idx").alias("probe_turn"),
+        F.col("start").alias("dst_start"),
+        F.col("canonical_id").alias("dst_cid"),
+        F.col("canonical_name").alias("obj"),
+    )
+    return (
+        probe.join(build, ["conv_id", "probe_turn"])
+        .filter(
+            (F.col("src_cid") != F.col("dst_cid"))
+            & (
+                (F.col("probe_turn") > F.col("src_turn"))
+                | (F.col("dst_start") > F.col("src_start"))
+            )
+        )
+        .select(
+            "conv_id",
+            "subj",
+            F.lit(cfg.cooccur_pred).alias("pred"),
+            "obj",
+            F.col("src_turn").alias("turn_idx"),
+        )
+    )
+
+
+def triples(
+    mentions: DataFrame,
+    canonical_mentions: DataFrame,
+    transcripts: DataFrame,
+    cfg: RelationConfig = RelationConfig(),
+) -> DataFrame:
+    """Distinct triples with evidence: (subj, pred, obj, conv_id,
+    turn_idx = min evidence turn, n_evidence)."""
+    ev = adjacent_relations(mentions, canonical_mentions, transcripts, cfg).unionByName(
+        cooccurrence_relations(canonical_mentions, cfg)
+    )
+    return (
+        ev.groupBy("conv_id", "subj", "pred", "obj")
+        .agg(
+            F.min("turn_idx").alias("turn_idx"),
+            F.count(F.lit(1)).alias("n_evidence"),
+        )
+        .select("subj", "pred", "obj", "conv_id", "turn_idx", "n_evidence")
+    )

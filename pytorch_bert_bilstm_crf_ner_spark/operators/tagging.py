@@ -1,0 +1,89 @@
+"""Distributed mention tagging — the reference's whole model forward +
+decode (`preprocess.py` P4/P6, `bert_ner_model.py` M1-M5, `layers/CRF.py`
+M8, `predict_gdcq.py` D2) fused into ONE Arrow-batched iterator pandas UDF.
+
+Why this shape (and not per-row Python): the iterator form
+(``Iterator[pd.Series] -> Iterator[pd.Series]``) constructs the tagger once
+per executor python worker (weights regenerated from the small seeded
+config — nothing heavy is shipped; a real-BERT path would broadcast the
+state_dict instead), then every Arrow batch is tokenized, Viterbi-decoded
+and FSM-span-decoded as whole numpy batches.  ``spark.sql.execution.arrow
+.maxRecordsPerBatch`` bounds batch memory (B x Lmax x T fp32).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..core.model import DeterministicTagger, TaggerConfig
+
+SPAN_STRUCT = StructType(
+    [
+        StructField("mention", StringType(), False),
+        StructField("start", IntegerType(), False),
+        StructField("type", StringType(), False),
+    ]
+)
+MENTIONS_SCHEMA = ArrayType(SPAN_STRUCT)
+
+
+def make_tag_turns_udf(cfg: TaggerConfig | None = None):
+    cfg = cfg or TaggerConfig()
+
+    @pandas_udf(MENTIONS_SCHEMA)
+    def tag_turns(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        tagger = DeterministicTagger(cfg)  # once per python worker
+        for texts in batches:
+            rows = tagger.tag_batch(texts.fillna("").tolist())
+            yield pd.Series(
+                [
+                    [
+                        {"mention": m, "start": s, "type": t}
+                        for m, s, t in row
+                    ]
+                    for row in rows
+                ]
+            )
+
+    return tag_turns
+
+
+def extract_mentions(transcripts: DataFrame,
+                     cfg: TaggerConfig | None = None) -> DataFrame:
+    """transcripts -> mention rows (conv_id, turn_idx, mention, start, type).
+
+    Only (conv_id, turn_idx, text) enter the UDF stage (column pruning);
+    empty turns are filtered first (reference P1, `preprocess.py:173-175`).
+    The keyed output replaces the reference's positional pred<->callback zip
+    (`main.py:95-111`) — every downstream comparison joins on
+    (conv_id, turn_idx, start), which is stable under any partitioning.
+    """
+    tag_udf = make_tag_turns_udf(cfg)
+    tagged = (
+        transcripts.filter(F.length("text") > 0)
+        .select("conv_id", "turn_idx", "text")
+        .withColumn("spans", tag_udf(F.col("text")))
+    )
+    return tagged.select(
+        "conv_id",
+        "turn_idx",
+        F.explode("spans").alias("sp"),
+    ).select(
+        "conv_id",
+        "turn_idx",
+        F.col("sp.mention").alias("mention"),
+        F.col("sp.start").alias("start"),
+        F.col("sp.type").alias("type"),
+    )

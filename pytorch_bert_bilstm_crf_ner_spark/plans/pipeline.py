@@ -1,0 +1,120 @@
+"""End-to-end KG-construction pipeline with per-stage checkpoint/lineage
+resume.
+
+Stages (SURVEY.md §3 "Spark lifecycle"):
+  transcripts -> mentions (Arrow-batched tag UDF) -> linked (broadcast
+  dict join) -> canonical (CC canonicalization) -> triples (adjacency +
+  windowed co-occurrence) -> partitioned graph table.
+
+Resume semantics (north_rule: "resumable from checkpoint with
+per-partition lineage + metrics"): every materialized stage writes
+  <out>/<stage>/            stage rows (parquet, _SUCCESS marker)
+  <out>/_lineage/<stage>/   per-partition lineage rows
+                            (stage, partition_id, n_rows, written_at run id)
+A rerun with the same output dir skips every stage whose _SUCCESS exists
+and reads it back instead of recomputing — kill the job between stages and
+relaunch, and only the missing stages run.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..core.model import TaggerConfig
+from ..core.oracle import RelationConfig
+from ..operators.canonicalize import canonical_entities, canonicalize_mentions
+from ..operators.linking import link_mentions
+from ..operators.relations import triples as build_triples
+from ..operators.tagging import extract_mentions
+from ..sources.entity_dict import entity_dict_df
+from ..sources.transcripts import transcripts_from_documents
+
+
+@dataclass
+class PipelineConfig:
+    tagger: TaggerConfig = field(default_factory=TaggerConfig)
+    relations: RelationConfig = field(default_factory=RelationConfig)
+    words_per_turn: int = 12
+    broadcast_dict: bool = True
+    repartition: int | None = None     # parallelism of the UDF stage
+    output_dir: str | None = None      # None = fully lazy, no materialization
+
+
+def _stage_done(out: str, stage: str) -> bool:
+    return os.path.exists(os.path.join(out, stage, "_SUCCESS"))
+
+
+def _write_stage(df: DataFrame, out: str, stage: str, run_id: str,
+                 partition_by: tuple[str, ...] = ()) -> DataFrame:
+    """Materialize a stage + its per-partition lineage, then read back."""
+    spark = df.sparkSession
+    path = os.path.join(out, stage)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+    lineage = (
+        spark.read.parquet(path)
+        .groupBy(F.spark_partition_id().alias("partition_id"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .withColumn("stage", F.lit(stage))
+        .withColumn("run_id", F.lit(run_id))
+    )
+    lineage.write.mode("overwrite").parquet(os.path.join(out, "_lineage", stage))
+    return spark.read.parquet(path)
+
+
+def _materialize(df: DataFrame, out: str | None, stage: str, run_id: str,
+                 partition_by: tuple[str, ...] = ()) -> DataFrame:
+    if out is None:
+        return df
+    if _stage_done(out, stage):
+        return df.sparkSession.read.parquet(os.path.join(out, stage))
+    return _write_stage(df, out, stage, run_id, partition_by)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    cfg: PipelineConfig | None = None,
+    run_id: str = "run0",
+) -> dict[str, DataFrame]:
+    """Build every stage; returns all stage DataFrames.  With
+    ``cfg.output_dir`` set, stages are materialized with lineage and a
+    rerun resumes from the last completed stage."""
+    cfg = cfg or PipelineConfig()
+    out = cfg.output_dir
+
+    transcripts = transcripts_from_documents(spark, sf_dir, cfg.words_per_turn)
+    if cfg.repartition:
+        # units of parallel model work for the UDF stage; conv_id keeps a
+        # conversation's turns together (stable (conv_id, turn_idx) keys
+        # make ordering irrelevant for correctness)
+        transcripts = transcripts.repartition(cfg.repartition, "conv_id")
+    transcripts = _materialize(transcripts, out, "transcripts", run_id)
+
+    mentions = extract_mentions(transcripts, cfg.tagger)
+    mentions = _materialize(mentions, out, "mentions", run_id)
+
+    edict = entity_dict_df(spark)
+    linked = link_mentions(mentions, edict, broadcast_dict=cfg.broadcast_dict)
+    canon = canonical_entities(edict)
+    canonical = canonicalize_mentions(linked, canon)
+    canonical = _materialize(canonical, out, "canonical", run_id)
+
+    trip = build_triples(mentions, canonical, transcripts, cfg.relations)
+    # graph table partitioned by predicate — partition pruning for
+    # per-relation queries (Iceberg would add days(ts) etc.)
+    trip = _materialize(trip, out, "triples", run_id, partition_by=("pred",))
+
+    return {
+        "transcripts": transcripts,
+        "mentions": mentions,
+        "linked": linked,
+        "canonical": canonical,
+        "triples": trip,
+    }

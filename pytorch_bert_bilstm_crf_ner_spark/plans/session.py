@@ -1,0 +1,65 @@
+"""SparkSession builder with the engine's scale-oriented defaults.
+
+Local mode stands in for a multi-executor cluster in this sandbox; the
+conf choices are the ones that matter at 100 TB: AQE (runtime re-plan,
+skew-join splitting, partition coalescing), Arrow batching sized so
+``maxRecordsPerBatch x max_seq_len x num_tags`` fits executor memory, and
+python worker reuse so the tagger weights are constructed once per worker.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+
+def ship_package(spark: SparkSession) -> str:
+    """Ship this package to executor python workers (the programmatic
+    equivalent of ``spark-submit --py-files engine.zip``).  Local mode
+    usually inherits the driver's sys.path, but a driver launched from
+    another cwd — or a real multi-executor cluster — needs the archive."""
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    base = os.path.dirname(pkg_root)
+    zpath = os.path.join(tempfile.gettempdir(), "pytorch_bert_bilstm_crf_ner_spark.zip")
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as zf:
+            for dirpath, _dirnames, filenames in os.walk(pkg_root):
+                for fn in filenames:
+                    if fn.endswith(".py"):
+                        full = os.path.join(dirpath, fn)
+                        zf.write(full, os.path.relpath(full, base))
+    spark.sparkContext.addPyFile(zpath)
+    return zpath
+
+
+def get_spark(
+    app_name: str = "kg-construct",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    arrow_batch: int = 1024,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle_partitions = shuffle_partitions or max(2 * cores, 8)
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch))
+        .config("spark.python.worker.reuse", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "12g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    ship_package(spark)
+    return spark
