@@ -1,38 +1,65 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship KG-construction pipeline on sf0.001;
+``queries()`` exposes every implemented operator from SURVEY.md §2 as a
+(spark, sf_dir) -> DataFrame callable; ``oracle_sql()`` gives each
+SQL-expressible query its DuckDB twin (tables pre-registered as views).
+SQL-inexpressible stages (Arrow-batched CRF tagging UDF, iterative
+connected components) are registered without a twin — the driver records a
+rows-only check and `tests/test_spark_parity.py` proves them exact against
+the single-process reference oracle.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pytorch_bert_bilstm_crf_ner_spark.plans.queries import (  # noqa: E402
+    ORACLE_SQL,
+    SPARK_QUERIES,
+)
+
+
+def _prepare(spark: SparkSession) -> None:
+    """Ship the package to executor python workers (--py-files equivalent)
+    in case the driver-provided session lacks the repo on its path."""
+    from pytorch_bert_bilstm_crf_ner_spark.plans.session import ship_package
+
+    try:
+        ship_package(spark)
+    except Exception:
+        pass  # already added, or local path import suffices
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full extract -> link -> canonicalize -> relations pipeline
+    over transcripts derived from /root/testdata/sf0.001; returns the
+    (subj, pred, obj) graph table."""
+    _prepare(spark)
+    from pytorch_bert_bilstm_crf_ner_spark.plans.pipeline import (
+        PipelineConfig,
+        run_pipeline,
+    )
+
+    return run_pipeline(spark, "/root/testdata/sf0.001", PipelineConfig())["triples"]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _prepare(spark)
+            return fn(spark, sf_dir)
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+        return run
+
+    return {name: wrap(fn) for name, fn in SPARK_QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLE_SQL)

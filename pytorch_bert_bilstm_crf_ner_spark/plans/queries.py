@@ -1,0 +1,422 @@
+"""Driver-contract query registry: each entry = (Spark DataFrame builder,
+DuckDB ANSI-SQL twin).  The driver runs both at sf=0.01 and compares
+row-count + schema + order-insensitive value hash, so every computed column
+is aliased identically on both sides and floats are rounded.
+
+The KG queries run over the deterministically derived ``transcripts``
+table (see `sources/transcripts.py`); SQL-inexpressible stages (the CRF
+tagging UDF, iterative connected components) are registered without a SQL
+twin — the driver records a weaker rows-only check and the pytest parity
+suite covers them exactly.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..core.entities import ENTITY_DICT_ROWS
+from ..sources.entity_dict import entity_dict_df, entity_dict_values_sql
+from ..sources.transcripts import transcripts_from_documents, transcripts_sql
+
+# --------------------------------------------------------------------- #
+# shared fragments
+
+_TR = transcripts_sql()
+_DICT_SQL = entity_dict_values_sql()
+_SINGLE_DICT_SQL = entity_dict_values_sql(
+    tuple(r for r in ENTITY_DICT_ROWS if " " not in r[1])
+)
+
+
+def _single_word_dict(spark: SparkSession) -> DataFrame:
+    return entity_dict_df(spark).filter(~F.col("alias").contains(" "))
+
+
+def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return transcripts_from_documents(spark, sf_dir)
+
+
+def _words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(conv_id, turn_idx, wpos, word, start): every word of every turn with
+    its char offset — cumulative (len+1) window, the W3 running-offset
+    pattern (`scripts/server.py:77-82`)."""
+    t = _transcripts(spark, sf_dir)
+    w = Window.partitionBy("conv_id", "turn_idx").orderBy("wpos").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        t.select(
+            "conv_id",
+            "turn_idx",
+            F.posexplode(F.split("text", " ")).alias("wpos", "word"),
+        )
+        .withColumn(
+            "start",
+            F.coalesce(F.sum(F.length("word") + 1).over(w), F.lit(0)).cast("int"),
+        )
+        .withColumn("wpos", F.col("wpos").cast("int"))
+    )
+
+
+_WORDS_SQL = f"""
+WITH tr AS ({_TR}),
+words AS (
+  SELECT conv_id, turn_idx,
+         CAST(unnest(range(len(string_split(text,' ')))) AS INT) AS wpos,
+         unnest(string_split(text,' ')) AS word
+  FROM tr
+)
+SELECT conv_id, turn_idx, wpos, word,
+       CAST(COALESCE(SUM(len(word)+1) OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY wpos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT) AS start
+FROM words
+"""
+
+
+def _dict_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-exact dictionary tagger (single-word aliases): the
+    SQL-checkable twin of the extraction+linking chain."""
+    d = _single_word_dict(spark).select(
+        F.col("alias").alias("word"), "type", "entity_id", "canonical_name"
+    )
+    return (
+        _words(spark, sf_dir)
+        .join(F.broadcast(d), "word")
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.col("word").alias("mention"),
+            "start",
+            "type",
+            "entity_id",
+            "canonical_name",
+        )
+    )
+
+
+_DICT_MENTIONS_SQL = f"""
+WITH w AS ({_WORDS_SQL})
+SELECT w.conv_id, w.turn_idx, w.word AS mention, w.start,
+       d.type, d.entity_id, d.canonical_name
+FROM w JOIN {_SINGLE_DICT_SQL} ON w.word = d.alias
+"""
+
+# --------------------------------------------------------------------- #
+# query: transcripts derivation (S1 scan + per-row projections)
+
+
+def q_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _transcripts(spark, sf_dir).select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+    )
+
+
+Q_TRANSCRIPTS_SQL = f"""
+SELECT conv_id, turn_idx, role, text, tool,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
+FROM ({_TR})
+"""
+
+# --------------------------------------------------------------------- #
+# query: per-conversation stats (A1/A6 aggregation family)
+
+
+def q_conversation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _transcripts(spark, sf_dir)
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(F.length("text")).alias("n_chars"),
+            F.max("turn_idx").alias("max_turn_idx"),
+            F.count(F.when(F.col("role") == "tool", 1)).alias("n_tool_turns"),
+        )
+    )
+
+
+Q_CONVERSATION_STATS_SQL = f"""
+SELECT conv_id,
+       COUNT(*) AS n_turns,
+       CAST(SUM(len(text)) AS BIGINT) AS n_chars,
+       MAX(turn_idx) AS max_turn_idx,
+       COUNT(CASE WHEN role = 'tool' THEN 1 END) AS n_tool_turns
+FROM ({_TR})
+GROUP BY conv_id
+"""
+
+# --------------------------------------------------------------------- #
+# query: turn char offsets within the conversation (W3/W4 window sort —
+# running offset of each turn in the reassembled conversation text)
+
+
+def q_turn_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("conv_id").orderBy("turn_idx").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return _transcripts(spark, sf_dir).select(
+        "conv_id",
+        "turn_idx",
+        F.coalesce(F.sum(F.length("text") + 1).over(w), F.lit(0))
+        .cast("bigint")
+        .alias("turn_offset"),
+        F.row_number()
+        .over(Window.partitionBy("conv_id").orderBy("turn_idx"))
+        .alias("turn_rank"),
+    )
+
+
+Q_TURN_OFFSETS_SQL = f"""
+SELECT conv_id, turn_idx,
+       CAST(COALESCE(SUM(len(text)+1) OVER (
+            PARTITION BY conv_id ORDER BY turn_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS turn_offset,
+       CAST(ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS INT) AS turn_rank
+FROM ({_TR})
+"""
+
+# --------------------------------------------------------------------- #
+# query: dictionary mentions (word tagger + broadcast linking twin, J5)
+
+
+def q_dict_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dict_mentions(spark, sf_dir)
+
+
+Q_DICT_MENTIONS_SQL = _DICT_MENTIONS_SQL
+
+# --------------------------------------------------------------------- #
+# query: entity mention counts with skew-visible heavy hitters (A4/A5)
+
+
+def q_entity_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _dict_mentions(spark, sf_dir)
+        .groupBy("entity_id", "canonical_name", "type")
+        .agg(
+            F.count(F.lit(1)).alias("n_mentions"),
+            F.countDistinct("conv_id").alias("n_convs"),
+        )
+    )
+
+
+Q_ENTITY_COUNTS_SQL = f"""
+WITH m AS ({_DICT_MENTIONS_SQL})
+SELECT entity_id, canonical_name, type,
+       COUNT(*) AS n_mentions,
+       COUNT(DISTINCT conv_id) AS n_convs
+FROM m GROUP BY entity_id, canonical_name, type
+"""
+
+# --------------------------------------------------------------------- #
+# query: adjacent-pair relations over dict mentions (J4 lead-window twin)
+
+
+def q_adjacent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _dict_mentions(spark, sf_dir).dropDuplicates(
+        ["conv_id", "turn_idx", "start"]
+    )
+    w = Window.partitionBy("conv_id", "turn_idx").orderBy("start")
+    return (
+        m.withColumn("obj", F.lead("mention").over(w))
+        .withColumn("obj_type", F.lead("type").over(w))
+        .filter(
+            (~F.col("type").isin("TITLE", "EDU"))
+            & F.col("obj_type").isin("TITLE", "EDU")
+        )
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.col("mention").alias("subj"),
+            F.lit("has_attribute").alias("pred"),
+            "obj",
+        )
+    )
+
+
+Q_ADJACENT_PAIRS_SQL = f"""
+WITH m0 AS ({_DICT_MENTIONS_SQL}),
+m AS (
+  SELECT conv_id, turn_idx, start, mention, type
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx, start
+                                     ORDER BY entity_id) AS rn FROM m0)
+  WHERE rn = 1
+),
+led AS (
+  SELECT conv_id, turn_idx, mention, type, start,
+         LEAD(mention) OVER (PARTITION BY conv_id, turn_idx ORDER BY start) AS obj,
+         LEAD(type) OVER (PARTITION BY conv_id, turn_idx ORDER BY start) AS obj_type
+  FROM m
+)
+SELECT conv_id, turn_idx, mention AS subj, 'has_attribute' AS pred, obj
+FROM led
+WHERE type NOT IN ('TITLE','EDU') AND obj_type IN ('TITLE','EDU')
+"""
+
+# --------------------------------------------------------------------- #
+# query: windowed co-occurrence triples over dict mentions (the
+# explode-to-equi-join pattern; W = 2 turns)
+
+
+def q_cooccur_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _dict_mentions(spark, sf_dir)
+    probe = m.select(
+        "conv_id",
+        F.col("turn_idx").alias("src_turn"),
+        F.col("start").alias("src_start"),
+        F.col("entity_id").alias("src_eid"),
+        F.col("canonical_name").alias("subj"),
+        F.explode(F.sequence(F.col("turn_idx"), F.col("turn_idx") + 2)).alias(
+            "probe_turn"
+        ),
+    )
+    build = m.select(
+        "conv_id",
+        F.col("turn_idx").alias("probe_turn"),
+        F.col("start").alias("dst_start"),
+        F.col("entity_id").alias("dst_eid"),
+        F.col("canonical_name").alias("obj"),
+    )
+    return (
+        probe.join(build, ["conv_id", "probe_turn"])
+        .filter(
+            (F.col("src_eid") != F.col("dst_eid"))
+            & (
+                (F.col("probe_turn") > F.col("src_turn"))
+                | (F.col("dst_start") > F.col("src_start"))
+            )
+        )
+        .groupBy("conv_id", "subj", "obj")
+        .agg(
+            F.min("src_turn").alias("turn_idx"),
+            F.count(F.lit(1)).alias("n_evidence"),
+        )
+        .select(
+            "subj",
+            F.lit("co_occurs_with").alias("pred"),
+            "obj",
+            "conv_id",
+            "turn_idx",
+            "n_evidence",
+        )
+    )
+
+
+Q_COOCCUR_SQL = f"""
+WITH m AS ({_DICT_MENTIONS_SQL})
+SELECT a.canonical_name AS subj, 'co_occurs_with' AS pred,
+       b.canonical_name AS obj, a.conv_id,
+       MIN(a.turn_idx) AS turn_idx, COUNT(*) AS n_evidence
+FROM m a JOIN m b
+  ON a.conv_id = b.conv_id
+ AND b.turn_idx BETWEEN a.turn_idx AND a.turn_idx + 2
+ AND a.entity_id <> b.entity_id
+ AND (b.turn_idx > a.turn_idx OR b.start > a.start)
+GROUP BY a.conv_id, a.canonical_name, b.canonical_name
+"""
+
+# --------------------------------------------------------------------- #
+# query: span-exact eval metrics (J1 join + A1-A3 aggregation) — "pred"
+# side is the dictionary restricted to entity_id <= 10, "gold" is the full
+# single-word dictionary
+
+
+def q_span_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.evaluate import span_metrics_by_type
+
+    all_m = _dict_mentions(spark, sf_dir).select(
+        "conv_id", "turn_idx", "mention", "start", "type"
+    ).distinct()
+    pred = (
+        _dict_mentions(spark, sf_dir)
+        .filter(F.col("entity_id") <= 10)
+        .select("conv_id", "turn_idx", "mention", "start", "type")
+        .distinct()
+    )
+    return span_metrics_by_type(pred, all_m).select(
+        "type",
+        F.col("tp").cast("bigint").alias("tp"),
+        F.col("fp").cast("bigint").alias("fp"),
+        F.col("fn").cast("bigint").alias("fn"),
+    )
+
+
+Q_SPAN_EVAL_SQL = f"""
+WITH m AS ({_DICT_MENTIONS_SQL}),
+gold AS (SELECT DISTINCT conv_id, turn_idx, mention, start, type FROM m),
+pred AS (SELECT DISTINCT conv_id, turn_idx, mention, start, type FROM m
+         WHERE entity_id <= 10),
+types AS (SELECT DISTINCT type FROM gold),
+tp AS (SELECT type, COUNT(*) c FROM (SELECT * FROM pred INTERSECT SELECT * FROM gold)
+       GROUP BY type),
+fp AS (SELECT type, COUNT(*) c FROM (SELECT * FROM pred EXCEPT SELECT * FROM gold)
+       GROUP BY type),
+fn AS (SELECT type, COUNT(*) c FROM (SELECT * FROM gold EXCEPT SELECT * FROM pred)
+       GROUP BY type)
+SELECT t.type,
+       COALESCE(tp.c, 0) AS tp,
+       COALESCE(fp.c, 0) AS fp,
+       COALESCE(fn.c, 0) AS fn
+FROM types t
+LEFT JOIN tp ON t.type = tp.type
+LEFT JOIN fp ON t.type = fp.type
+LEFT JOIN fn ON t.type = fn.type
+"""
+
+# --------------------------------------------------------------------- #
+# KG-pipeline queries without a SQL twin (UDF tagging / iterative CC):
+# checked rows-only by the driver, exactly by tests/test_spark_parity.py.
+
+
+def q_kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.tagging import extract_mentions
+
+    return extract_mentions(_transcripts(spark, sf_dir))
+
+
+def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline import PipelineConfig, run_pipeline
+
+    return run_pipeline(spark, sf_dir, PipelineConfig())["triples"]
+
+
+def q_canonical_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.canonicalize import canonical_entities
+
+    return canonical_entities(entity_dict_df(spark))
+
+
+# --------------------------------------------------------------------- #
+
+SPARK_QUERIES = {
+    "transcripts": q_transcripts,
+    "conversation_stats": q_conversation_stats,
+    "turn_offsets": q_turn_offsets,
+    "dict_mentions": q_dict_mentions,
+    "entity_counts": q_entity_counts,
+    "adjacent_pairs": q_adjacent_pairs,
+    "cooccur_triples": q_cooccur_triples,
+    "span_eval": q_span_eval,
+    "kg_mentions": q_kg_mentions,
+    "kg_triples": q_kg_triples,
+    "canonical_entities": q_canonical_entities,
+}
+
+ORACLE_SQL = {
+    "transcripts": Q_TRANSCRIPTS_SQL,
+    "conversation_stats": Q_CONVERSATION_STATS_SQL,
+    "turn_offsets": Q_TURN_OFFSETS_SQL,
+    "dict_mentions": Q_DICT_MENTIONS_SQL,
+    "entity_counts": Q_ENTITY_COUNTS_SQL,
+    "adjacent_pairs": Q_ADJACENT_PAIRS_SQL,
+    "cooccur_triples": Q_COOCCUR_SQL,
+    "span_eval": Q_SPAN_EVAL_SQL,
+    # kg_mentions / kg_triples / canonical_entities: no ANSI-SQL equivalent
+    # (Arrow-batched CRF UDF, iterative connected components) — rows-only.
+}

@@ -28,9 +28,9 @@ def entity_dict_df(spark: SparkSession, rows=ENTITY_DICT_ROWS) -> DataFrame:
     return spark.createDataFrame(list(rows), ENTITY_DICT_SCHEMA)
 
 
-def entity_dict_values_sql(rows=ENTITY_DICT_ROWS) -> str:
-    """Inline VALUES relation for the DuckDB oracle twin."""
+def entity_dict_values_sql(rows=ENTITY_DICT_ROWS, alias: str = "d") -> str:
+    """Inline VALUES relation (aliased) for the DuckDB oracle twin."""
     vals = ", ".join(
-        f"({eid}, '{alias}', '{etype}', '{name}')" for eid, alias, etype, name in rows
+        f"({eid}, '{a}', '{etype}', '{name}')" for eid, a, etype, name in rows
     )
-    return f"(VALUES {vals}) AS entity_dict(entity_id, alias, type, canonical_name)"
+    return f"(VALUES {vals}) AS {alias}(entity_id, alias, type, canonical_name)"
