@@ -1,0 +1,142 @@
+#!/usr/bin/env python3
+"""Benchmark harness.
+
+Default mode (what the per-round driver runs): times the end-to-end KG
+pipeline plus the headline relational queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], and prints ONE
+JSON line:
+  {"metric": ..., "value": <pipeline sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "turns": N,
+   "turns_per_sec": ..., "turns_per_sec_warm": ...}
+
+Scaling mode (--scaling [N_CONVS]): same job over a synthesized
+compute-bound transcripts table at two parallelism levels (local[8] vs
+local[32] — the sandbox stand-in for N vs 4N executors) and reports
+throughput at both plus scaling efficiency.  Results are recorded in
+BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def _pipeline_secs(spark, sf_dir, transcripts_df=None):
+    from pytorch_bert_bilstm_crf_ner_spark.plans.pipeline import (
+        PipelineConfig,
+        run_pipeline,
+    )
+
+    t0 = time.time()
+    st = run_pipeline(spark, sf_dir, PipelineConfig(), transcripts_df=transcripts_df)
+    n_triples = st["triples"].count()
+    dt = time.time() - t0
+    n_turns = st["transcripts"].count()
+    for df in st.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    return dt, n_turns, n_triples
+
+
+def run_default(sf_dir: str, cpus: int) -> dict:
+    from pytorch_bert_bilstm_crf_ner_spark.plans.queries import SPARK_QUERIES
+    from pytorch_bert_bilstm_crf_ner_spark.plans.session import get_spark
+
+    spark = get_spark(app_name="bench", cores=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).selectExpr("sum(id)").collect()  # token warm-up job
+
+    cold_sec, n_turns, n_triples = _pipeline_secs(spark, sf_dir)
+    warm_sec, _, _ = _pipeline_secs(spark, sf_dir)
+
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+    queries: dict[str, float] = {"kg_pipeline": round(cold_sec, 3),
+                                 "kg_pipeline_warm": round(warm_sec, 3)}
+    for name in (
+        "transcripts",
+        "dict_mentions",
+        "entity_counts",
+        "adjacent_pairs",
+        "cooccur_triples",
+        "span_eval",
+        "turn_offsets",
+        "conversation_stats",
+    ):
+        fn = SPARK_QUERIES[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        queries[name] = round(time.time() - t0, 3)
+    spark.stop()
+
+    return {
+        "metric": "kg_pipeline_end_to_end",
+        "value": round(cold_sec, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "turns": n_turns,
+        "triples": n_triples,
+        "turns_per_sec": round(n_turns / cold_sec, 1),
+        "turns_per_sec_warm": round(n_turns / warm_sec, 1),
+        "cpus": cpus,
+    }
+
+
+def run_scaling(n_convs: int, n_low: int = 8, n_high: int = 32) -> dict:
+    """Same synthesized input at local[N] and local[4N]; efficiency =
+    (throughput_4N / throughput_N) / (4N / N)."""
+    from pytorch_bert_bilstm_crf_ner_spark.plans.session import get_spark
+    from pytorch_bert_bilstm_crf_ner_spark.sources.synth import synth_transcripts
+
+    results = {}
+    repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "3"))
+    for cores in (n_low, n_high):
+        spark = get_spark(app_name=f"bench-scaling-{cores}", cores=cores)
+        spark.sparkContext.setLogLevel("ERROR")
+        spark.range(1000).selectExpr("sum(id)").collect()
+        tr = synth_transcripts(spark, n_convs, partitions=cores * 2)
+        # warm-up: python workers + JIT on a slice, then best-of-N measured
+        # runs (the sandbox carries ambient background load; min is the
+        # least-contended estimate)
+        _pipeline_secs(spark, "", transcripts_df=tr.limit(5000))
+        runs = [
+            _pipeline_secs(spark, "", transcripts_df=tr) for _ in range(repeats)
+        ]
+        sec = min(r[0] for r in runs)
+        n_turns, n_triples = runs[0][1], runs[0][2]
+        results[cores] = {
+            "sec": round(sec, 2),
+            "all_secs": [round(r[0], 2) for r in runs],
+            "turns": n_turns,
+            "triples": n_triples,
+            "turns_per_sec": round(n_turns / sec, 1),
+        }
+        spark.stop()
+    eff = (
+        results[n_high]["turns_per_sec"] / results[n_low]["turns_per_sec"]
+    ) / (n_high / n_low)
+    return {
+        "metric": f"scaling_efficiency_{n_low}_to_{n_high}_cores",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "n_convs": n_convs,
+        "runs": results,
+    }
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if len(sys.argv) > 1 and sys.argv[1] == "--scaling":
+        n_convs = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
+        n_low = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+        n_high = int(sys.argv[4]) if len(sys.argv) > 4 else 4 * n_low
+        print(json.dumps(run_scaling(n_convs, n_low, n_high)))
+    else:
+        print(json.dumps(run_default(sf_dir, cpus)))

@@ -60,21 +60,50 @@ def connected_components(
     return comp
 
 
-def canonical_entities(entity_dict: DataFrame, max_iter: int = 25) -> DataFrame:
+def canonical_entities(entity_dict: DataFrame, max_iter: int = 25,
+                       driver_side_threshold: int = 1_000_000) -> DataFrame:
     """entity_dict -> (entity_id, canonical_id, canonical_name): entities
     sharing an (alias, type) key are merged; canonical_name is the name of
-    the component's min entity_id."""
-    edges = (
-        entity_dict.groupBy("alias", "type")
-        .agg(
-            F.min("entity_id").alias("src"),
-            F.collect_set("entity_id").alias("ids"),
+    the component's min entity_id.
+
+    The dictionary is broadcast-sized by definition in this pipeline, so
+    below ``driver_side_threshold`` rows the components are computed with
+    driver-side union-find (one collect of (entity_id, alias, type) — no
+    iterative shuffles); the distributed min-label-propagation loop is the
+    path for genuinely large alias graphs."""
+    rows = entity_dict.select("entity_id", "alias", "type").limit(
+        driver_side_threshold + 1
+    ).collect()
+    if len(rows) <= driver_side_threshold:
+        # one collect, no iterative shuffles
+        from collections import defaultdict
+
+        from ..core.entities import connected_components_py
+
+        by_alias: dict[tuple[str, str], list[int]] = defaultdict(list)
+        for r in rows:
+            by_alias[(r["alias"], r["type"])].append(r["entity_id"])
+        edge_rows = []
+        for ids_ in by_alias.values():
+            ids_ = sorted(set(ids_))
+            edge_rows.extend((ids_[0], other) for other in ids_[1:])
+        ids = sorted({r["entity_id"] for r in rows})
+        cmap = connected_components_py(ids, edge_rows)
+        comp = entity_dict.sparkSession.createDataFrame(
+            [(i, c) for i, c in cmap.items()], "id BIGINT, component BIGINT"
         )
-        .select("src", F.explode("ids").alias("dst"))
-        .filter(F.col("src") != F.col("dst"))
-    )
-    verts = entity_dict.select(F.col("entity_id").alias("id")).distinct()
-    comp = connected_components(edges, verts, max_iter)
+    else:
+        edges = (
+            entity_dict.groupBy("alias", "type")
+            .agg(
+                F.min("entity_id").alias("src"),
+                F.collect_set("entity_id").alias("ids"),
+            )
+            .select("src", F.explode("ids").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+        )
+        verts = entity_dict.select(F.col("entity_id").alias("id")).distinct()
+        comp = connected_components(edges, verts, max_iter)
     names = entity_dict.select("entity_id", "canonical_name").distinct()
     return (
         comp.withColumnRenamed("id", "entity_id")

@@ -1,0 +1,319 @@
+"""Deduplication operators over the ``documents`` table — the
+training-data-pipeline surface of the engine (exact, n-gram Jaccard,
+MinHash+LSH, SimHash, embedding-cosine near-dup).
+
+Engine-portability rule used throughout: every hash is ``md5`` of a string
+(identical in Spark and DuckDB), MinHash minima are taken over hex STRINGS
+(string min is engine-independent), and floats are rounded before emission
+— so each operator has an exact ANSI-SQL twin for the correctness oracle.
+At 100 TB the shapes hold: shingle explode -> hash-partitioned groupBy is
+the classic map-side-combinable MinHash; LSH banding turns the quadratic
+candidate search into an equi-join on (band_id, band_key).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+# ------------------------------------------------------------------ #
+# exact duplicates (hash groupBy)
+
+
+def exact_duplicates(documents: DataFrame) -> DataFrame:
+    """Groups of byte-identical texts: (text_hash, n_docs, min_doc_id)."""
+    return (
+        documents.groupBy(F.md5("text").alias("text_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+EXACT_DUPLICATES_SQL = """
+SELECT md5(text) AS text_hash, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
+FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
+"""
+
+# ------------------------------------------------------------------ #
+# word shingles
+
+
+def _shingles(documents: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle): distinct n-word shingles per document."""
+    words = F.split(F.col("text"), " ")
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+    )
+    return documents.select(
+        "doc_id", F.explode(F.array_distinct(sh)).alias("shingle")
+    )
+
+
+def _shingles_sql(n: int = 3) -> str:
+    return f"""
+SELECT doc_id, unnest(list_distinct(list_transform(
+         range(0, greatest(len(string_split(text,' ')) - {n}, 0) + 1),
+         i -> array_to_string(list_slice(string_split(text,' '), i+1, i+{n}), ' ')
+       ))) AS shingle
+FROM documents
+"""
+
+
+# ------------------------------------------------------------------ #
+# n-gram Jaccard near-dup pairs
+
+
+def ngram_jaccard_pairs(documents: DataFrame, n: int = 3,
+                        threshold: float = 0.8) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for pairs over the threshold; doc_a < doc_b.
+
+    Shingle self-join counts the intersection; per-doc shingle counts give
+    the union by inclusion-exclusion — no quadratic cross join.
+    """
+    sh = _shingles(documents, n)
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(counts.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(counts.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def ngram_jaccard_sql(n: int = 3, threshold: float = 0.8) -> str:
+    return f"""
+WITH sh AS ({_shingles_sql(n)}),
+counts AS (SELECT doc_id, COUNT(*) n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id doc_a, b.doc_id doc_b, COUNT(*) n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       ROUND(n_inter / (ca.n_sh + cb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN counts ca ON ca.doc_id = doc_a
+JOIN counts cb ON cb.doc_id = doc_b
+WHERE n_inter / (ca.n_sh + cb.n_sh - n_inter) >= {threshold}
+"""
+
+
+# ------------------------------------------------------------------ #
+# MinHash signatures + LSH banding
+
+N_HASHES = 8
+BAND_SIZE = 2  # -> 4 bands
+
+
+def minhash_signatures(documents: DataFrame, n: int = 3,
+                       n_hashes: int = N_HASHES) -> DataFrame:
+    """(doc_id, h0..h{K-1}): K MinHash values = min over shingles of
+    md5(k || '|' || shingle), as hex strings (engine-portable minima).
+    One groupBy with K aggregates — map-side combinable."""
+    sh = _shingles(documents, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("shingle")))).alias(f"h{k}")
+        for k in range(n_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures_sql(n: int = 3, n_hashes: int = N_HASHES) -> str:
+    mins = ",\n       ".join(
+        f"MIN(md5('{k}|' || shingle)) AS h{k}" for k in range(n_hashes)
+    )
+    return f"""
+WITH sh AS ({_shingles_sql(n)})
+SELECT doc_id,
+       {mins}
+FROM sh GROUP BY doc_id
+"""
+
+
+def lsh_candidate_pairs(documents: DataFrame, n: int = 3,
+                        n_hashes: int = N_HASHES,
+                        band_size: int = BAND_SIZE) -> DataFrame:
+    """(doc_a, doc_b, n_bands): pairs sharing >= 1 LSH band.  Bands are
+    md5 of the concatenated band signature; the pair search is a pure
+    equi-join on (band_id, band_key)."""
+    sig = minhash_signatures(documents, n, n_hashes)
+    n_bands = n_hashes // band_size
+    band_rows = []
+    for b in range(n_bands):
+        cols = [F.col(f"h{k}") for k in range(b * band_size, (b + 1) * band_size)]
+        band_rows.append(
+            sig.select(
+                "doc_id",
+                F.lit(b).alias("band_id"),
+                F.md5(F.concat_ws("|", *cols)).alias("band_key"),
+            )
+        )
+    bands = band_rows[0]
+    for extra in band_rows[1:]:
+        bands = bands.unionByName(extra)
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band_id", "band_key")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band_id", "band_key")
+    return (
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+
+
+def lsh_candidate_pairs_sql(n: int = 3, n_hashes: int = N_HASHES,
+                            band_size: int = BAND_SIZE) -> str:
+    n_bands = n_hashes // band_size
+    selects = []
+    for b in range(n_bands):
+        cols = " || '|' || ".join(
+            f"h{k}" for k in range(b * band_size, (b + 1) * band_size)
+        )
+        selects.append(
+            f"SELECT doc_id, {b} AS band_id, md5({cols}) AS band_key FROM sig"
+        )
+    bands = " UNION ALL ".join(selects)
+    return f"""
+WITH sig AS ({minhash_signatures_sql(n, n_hashes)}),
+bands AS ({bands})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands
+FROM bands a JOIN bands b
+  ON a.band_id = b.band_id AND a.band_key = b.band_key
+ AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+"""
+
+
+# ------------------------------------------------------------------ #
+# SimHash (48-bit, md5-nibble based so both engines agree; bit 47..0)
+
+SIMHASH_BITS = 48
+
+
+def simhash(documents: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """(doc_id, simhash): weighted-majority bit fingerprint over words.
+
+    Bit b of a word's hash = bit (3 - b%4) of hex nibble b//4 of md5(word);
+    the document bit is 1 iff more words set it than clear it.  Stays
+    entirely in JVM expressions (explode words x explode bit positions ->
+    two hash aggregations)."""
+    words = documents.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).withColumn("h", F.md5("word"))
+    bits_df = words.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+        F.col("h"),
+    ).withColumn(
+        "nibble",
+        F.expr("locate(substring(h, bit div 4 + 1, 1), '0123456789abcdef') - 1"),
+    ).withColumn(
+        "is_set",
+        F.expr("CAST(shiftright(nibble, 3 - bit % 4) & 1 AS INT)"),
+    )
+    return (
+        bits_df.groupBy("doc_id", "bit")
+        .agg(F.sum(F.col("is_set") * 2 - 1).alias("vote"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("vote") > 0, F.expr(f"shiftleft(CAST(1 AS BIGINT), {bits - 1} - bit)"))
+                .otherwise(F.lit(0))
+            ).alias("simhash")
+        )
+    )
+
+
+def simhash_sql(bits: int = SIMHASH_BITS) -> str:
+    return f"""
+WITH words AS (
+  SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM documents
+),
+bitsrc AS (
+  SELECT doc_id, h, CAST(unnest(range({bits})) AS INT) AS bit FROM words
+),
+votes AS (
+  SELECT doc_id, bit,
+         SUM(((CAST(strpos('0123456789abcdef', substr(h, (bit // 4) + 1, 1)) AS INT) - 1)
+              >> (3 - (bit % 4)) & 1) * 2 - 1) AS vote
+  FROM bitsrc GROUP BY doc_id, bit
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN vote > 0
+                THEN (CAST(1 AS BIGINT) << ({bits - 1} - bit))
+                ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id
+"""
+
+
+# ------------------------------------------------------------------ #
+# embedding-cosine near-duplicates
+
+
+def embedding_neardup_pairs(embeddings: DataFrame,
+                            threshold: float = 0.95) -> DataFrame:
+    """(vec_a, vec_b, cos_sim) for pairs above threshold; brute-force
+    self-join baseline (the LSH-bucketed scale path lives in
+    `operators/ann.py`).  Cosine via zip_with/aggregate — JVM-side."""
+    def with_norm(df, suffix):
+        return df.select(
+            F.col("vec_id").alias(f"vec_{suffix}"),
+            F.col("embedding").alias(f"emb_{suffix}"),
+            F.sqrt(
+                F.aggregate(
+                    "embedding",
+                    F.lit(0.0),
+                    lambda acc, x: acc + x.cast("double") * x.cast("double"),
+                )
+            ).alias(f"norm_{suffix}"),
+        )
+
+    a = with_norm(embeddings, "a")
+    b = with_norm(embeddings, "b")
+    dot = F.aggregate(
+        F.zip_with("emb_a", "emb_b", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos_sim", F.round(dot / (F.col("norm_a") * F.col("norm_b")), 4))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("vec_a", "vec_b", "cos_sim")
+    )
+
+
+def embedding_neardup_sql(threshold: float = 0.95) -> str:
+    return f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_dot_product(a.embedding, b.embedding)
+             / (sqrt(list_dot_product(a.embedding, a.embedding))
+                * sqrt(list_dot_product(b.embedding, b.embedding))), 4) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.embedding, b.embedding)
+      / (sqrt(list_dot_product(a.embedding, a.embedding))
+         * sqrt(list_dot_product(b.embedding, b.embedding))) >= {threshold}
+"""

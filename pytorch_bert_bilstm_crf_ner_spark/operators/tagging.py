@@ -76,14 +76,23 @@ def extract_mentions(transcripts: DataFrame,
         .select("conv_id", "turn_idx", "text")
         .withColumn("spans", tag_udf(F.col("text")))
     )
-    return tagged.select(
-        "conv_id",
-        "turn_idx",
-        F.explode("spans").alias("sp"),
-    ).select(
-        "conv_id",
-        "turn_idx",
-        F.col("sp.mention").alias("mention"),
-        F.col("sp.start").alias("start"),
-        F.col("sp.type").alias("type"),
+    # explode_outer, not explode: plain explode makes Catalyst insert a
+    # size(spans)>0 pre-filter that DUPLICATES the ArrowEvalPython node —
+    # the model forward would run twice per row.  explode_outer needs no
+    # precondition (one UDF eval); the null rows from empty arrays are
+    # dropped afterwards, JVM-side.
+    return (
+        tagged.select(
+            "conv_id",
+            "turn_idx",
+            F.explode_outer("spans").alias("sp"),
+        )
+        .filter(F.col("sp").isNotNull())
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.col("sp.mention").alias("mention"),
+            F.col("sp.start").alias("start"),
+            F.col("sp.type").alias("type"),
+        )
     )

@@ -82,29 +82,52 @@ def run_pipeline(
     sf_dir: str,
     cfg: PipelineConfig | None = None,
     run_id: str = "run0",
+    transcripts_df: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """Build every stage; returns all stage DataFrames.  With
     ``cfg.output_dir`` set, stages are materialized with lineage and a
-    rerun resumes from the last completed stage."""
+    rerun resumes from the last completed stage.  ``transcripts_df``
+    overrides the documents-derived input (e.g. a synthesized bench table
+    or a real Iceberg transcripts table)."""
     cfg = cfg or PipelineConfig()
     out = cfg.output_dir
 
-    transcripts = transcripts_from_documents(spark, sf_dir, cfg.words_per_turn)
-    if cfg.repartition:
-        # units of parallel model work for the UDF stage; conv_id keeps a
-        # conversation's turns together (stable (conv_id, turn_idx) keys
-        # make ordering irrelevant for correctness)
-        transcripts = transcripts.repartition(cfg.repartition, "conv_id")
+    transcripts = (
+        transcripts_df
+        if transcripts_df is not None
+        else transcripts_from_documents(spark, sf_dir, cfg.words_per_turn)
+    )
+    # Units of parallel model work for the UDF stage.  Tagging is per-turn
+    # (no co-location requirement — downstream windows/joins shuffle on
+    # their own keys), so round-robin gives the best load balance and makes
+    # one hot conversation harmless here.
+    n_part = cfg.repartition or spark.sparkContext.defaultParallelism
+    transcripts = transcripts.repartition(n_part)
     transcripts = _materialize(transcripts, out, "transcripts", run_id)
+    # mentions/canonical/transcripts each feed 2+ downstream branches; when
+    # stages aren't materialized to parquet, cache them EAGERLY (persist +
+    # count before building downstream plans): a lazy cache can be
+    # materialized concurrently by sibling branches of one action, running
+    # the tag UDF more than once.
+    def _cache(df: DataFrame) -> DataFrame:
+        if out is not None:
+            return df
+        df = df.persist()
+        df.count()
+        return df
+
+    transcripts = _cache(transcripts)
 
     mentions = extract_mentions(transcripts, cfg.tagger)
     mentions = _materialize(mentions, out, "mentions", run_id)
+    mentions = _cache(mentions)
 
     edict = entity_dict_df(spark)
     linked = link_mentions(mentions, edict, broadcast_dict=cfg.broadcast_dict)
     canon = canonical_entities(edict)
     canonical = canonicalize_mentions(linked, canon)
     canonical = _materialize(canonical, out, "canonical", run_id)
+    canonical = _cache(canonical)
 
     trip = build_triples(mentions, canonical, transcripts, cfg.relations)
     # graph table partitioned by predicate — partition pruning for

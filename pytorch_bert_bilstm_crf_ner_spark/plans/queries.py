@@ -393,6 +393,80 @@ def q_canonical_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------- #
+# training-data-pipeline operators: dedup / similarity / text analysis /
+# multimodal (documents + embeddings tables)
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import exact_duplicates
+
+    return exact_duplicates(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), n=3, threshold=0.8
+    )
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_signatures
+
+    return minhash_signatures(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import lsh_candidate_pairs
+
+    return lsh_candidate_pairs(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import simhash
+
+    return simhash(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), threshold=0.5
+    )
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ann import cosine_topk
+
+    return cosine_topk(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+
+
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import text_profile
+
+    return text_profile(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import doc_fingerprint
+
+    return doc_fingerprint(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ann import lsh_cosine_topk
+
+    return lsh_cosine_topk(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import decode_media, synth_media
+
+    media = synth_media(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return decode_media(media, dim=16, fake=True)
+
 
 SPARK_QUERIES = {
     "transcripts": q_transcripts,
@@ -406,6 +480,17 @@ SPARK_QUERIES = {
     "kg_mentions": q_kg_mentions,
     "kg_triples": q_kg_triples,
     "canonical_entities": q_canonical_entities,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_jaccard,
+    "minhash_signatures": q_minhash_signatures,
+    "lsh_candidate_pairs": q_lsh_pairs,
+    "simhash": q_simhash,
+    "embedding_neardup": q_embedding_neardup,
+    "cosine_topk": q_cosine_topk,
+    "text_profile": q_text_profile,
+    "doc_fingerprint": q_doc_fingerprint,
+    "lsh_ann_topk": q_lsh_ann_topk,
+    "media_features": q_media_features,
 }
 
 ORACLE_SQL = {
@@ -419,4 +504,36 @@ ORACLE_SQL = {
     "span_eval": Q_SPAN_EVAL_SQL,
     # kg_mentions / kg_triples / canonical_entities: no ANSI-SQL equivalent
     # (Arrow-batched CRF UDF, iterative connected components) — rows-only.
+    # lsh_ann_topk (seeded hyperplanes) and media_features (binary decode
+    # stub) are likewise rows-only, with pytest coverage instead.
 }
+
+
+def _register_pipeline_sql() -> None:
+    from ..functions.text import TEXT_PROFILE_SQL, doc_fingerprint_sql
+    from ..operators.ann import cosine_topk_sql
+    from ..operators.dedup import (
+        EXACT_DUPLICATES_SQL,
+        embedding_neardup_sql,
+        lsh_candidate_pairs_sql,
+        minhash_signatures_sql,
+        ngram_jaccard_sql,
+        simhash_sql,
+    )
+
+    ORACLE_SQL.update(
+        {
+            "dedup_exact": EXACT_DUPLICATES_SQL,
+            "dedup_ngram_jaccard": ngram_jaccard_sql(3, 0.8),
+            "minhash_signatures": minhash_signatures_sql(),
+            "lsh_candidate_pairs": lsh_candidate_pairs_sql(),
+            "simhash": simhash_sql(),
+            "embedding_neardup": embedding_neardup_sql(0.5),
+            "cosine_topk": cosine_topk_sql(),
+            "text_profile": TEXT_PROFILE_SQL,
+            "doc_fingerprint": doc_fingerprint_sql(),
+        }
+    )
+
+
+_register_pipeline_sql()

@@ -23,14 +23,20 @@ def ship_package(spark: SparkSession) -> str:
     another cwd — or a real multi-executor cluster — needs the archive."""
     pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     base = os.path.dirname(pkg_root)
+    sources = [
+        os.path.join(dirpath, fn)
+        for dirpath, _dirnames, filenames in os.walk(pkg_root)
+        for fn in filenames
+        if fn.endswith(".py")
+    ]
     zpath = os.path.join(tempfile.gettempdir(), "pytorch_bert_bilstm_crf_ner_spark.zip")
-    if not os.path.exists(zpath):
-        with zipfile.ZipFile(zpath, "w") as zf:
-            for dirpath, _dirnames, filenames in os.walk(pkg_root):
-                for fn in filenames:
-                    if fn.endswith(".py"):
-                        full = os.path.join(dirpath, fn)
-                        zf.write(full, os.path.relpath(full, base))
+    newest = max(os.path.getmtime(p) for p in sources)
+    if not os.path.exists(zpath) or os.path.getmtime(zpath) < newest:
+        tmp = zpath + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for full in sorted(sources):
+                zf.write(full, os.path.relpath(full, base))
+        os.replace(tmp, zpath)
     spark.sparkContext.addPyFile(zpath)
     return zpath
 
@@ -54,7 +60,7 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch))
         .config("spark.python.worker.reuse", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "12g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
