@@ -134,8 +134,11 @@ if __name__ == "__main__":
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if len(sys.argv) > 1 and sys.argv[1] == "--scaling":
-        n_convs = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
-        n_low = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+        n_convs = int(sys.argv[2]) if len(sys.argv) > 2 else 15_000
+        # default N=2 -> 4N=8: this sandbox's 32 vCPUs saturate at ~8-10
+        # real cores (see BASELINE.md "Methodology caveat"), so 2->8 is the
+        # honest measurable N->4N range here
+        n_low = int(sys.argv[3]) if len(sys.argv) > 3 else 2
         n_high = int(sys.argv[4]) if len(sys.argv) > 4 else 4 * n_low
         print(json.dumps(run_scaling(n_convs, n_low, n_high)))
     else:

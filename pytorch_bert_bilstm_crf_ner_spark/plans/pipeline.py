@@ -105,29 +105,29 @@ def run_pipeline(
     transcripts = transcripts.repartition(n_part)
     transcripts = _materialize(transcripts, out, "transcripts", run_id)
     # mentions/canonical/transcripts each feed 2+ downstream branches; when
-    # stages aren't materialized to parquet, cache them EAGERLY (persist +
-    # count before building downstream plans): a lazy cache can be
-    # materialized concurrently by sibling branches of one action, running
-    # the tag UDF more than once.
-    def _cache(df: DataFrame) -> DataFrame:
-        if out is not None:
-            return df
-        df = df.persist()
-        df.count()
-        return df
-
-    transcripts = _cache(transcripts)
+    # stages aren't materialized to parquet, cache them.  Only the stage
+    # guarding the EXPENSIVE model-forward UDF (mentions) gets an eager
+    # count — a lazy cache can be materialized concurrently by sibling
+    # branches of one action, and re-running the tag UDF is the one
+    # unaffordable recompute.  The cheap stages persist lazily: every
+    # extra count() is a scheduling barrier whose fixed latency caps
+    # scaling (Amdahl) on short jobs.
+    if out is None:
+        transcripts = transcripts.persist()
 
     mentions = extract_mentions(transcripts, cfg.tagger)
     mentions = _materialize(mentions, out, "mentions", run_id)
-    mentions = _cache(mentions)
+    if out is None:
+        mentions = mentions.persist()
+        mentions.count()
 
     edict = entity_dict_df(spark)
     linked = link_mentions(mentions, edict, broadcast_dict=cfg.broadcast_dict)
     canon = canonical_entities(edict)
     canonical = canonicalize_mentions(linked, canon)
     canonical = _materialize(canonical, out, "canonical", run_id)
-    canonical = _cache(canonical)
+    if out is None:
+        canonical = canonical.persist()
 
     trip = build_triples(mentions, canonical, transcripts, cfg.relations)
     # graph table partitioned by predicate — partition pruning for

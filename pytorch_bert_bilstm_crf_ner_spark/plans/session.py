@@ -50,6 +50,12 @@ def get_spark(
 ) -> SparkSession:
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(2 * cores, 8)
+    # One Spark task = one python worker = ONE BLAS thread.  Without this,
+    # every worker's numpy spawns n_cpu OpenBLAS threads (cores x 32
+    # threads total) and the tag stage runs SLOWER with more cores.
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS",
+                "NUMEXPR_NUM_THREADS", "VECLIB_MAXIMUM_THREADS"):
+        os.environ.setdefault(var, "1")
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
@@ -63,6 +69,18 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
+        # shuffle/spill on tmpfs: the sandbox disk does ~230 MB/s and
+        # concurrent shuffle writers thrash it; a real cluster would have
+        # NVMe-backed local dirs
+        .config(
+            "spark.local.dir",
+            os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local")
+            if os.path.isdir("/dev/shm")
+            else os.environ.get("SPARK_LOCAL_DIRS", "/tmp"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
