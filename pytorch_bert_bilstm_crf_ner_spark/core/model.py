@@ -67,7 +67,8 @@ class TaggerConfig:
     boost: float = 8.0              # gazetteer prior strength
     types: tuple[str, ...] = CNER_TYPES
     gazetteer: tuple[tuple[str, str], ...] = DEFAULT_GAZETTEER
-    scheme: str = "BIOES"
+    scheme: str = "BIOES"       # or "BIO" (D3 decode path)
+    use_crf: bool = True        # False -> argmax decode (M6, `main.py:92-93`)
 
 
 class DeterministicTagger:
@@ -135,7 +136,11 @@ class DeterministicTagger:
             for m in self._gaz_re.finditer(text):
                 s, e = m.start(), m.end()
                 etype = self._gaz_type[m.group(1)]
-                if e - s == 1:
+                if c.scheme == "BIO":
+                    em[b, s, self.ent2id[f"B-{etype}"]] += c.boost
+                    if e - s > 1:
+                        em[b, s + 1 : e, self.ent2id[f"I-{etype}"]] += c.boost
+                elif e - s == 1:
                     em[b, s, self.ent2id[f"S-{etype}"]] += c.boost
                 else:
                     em[b, s, self.ent2id[f"B-{etype}"]] += c.boost
@@ -145,6 +150,10 @@ class DeterministicTagger:
 
     def tag_ids(self, texts: list[str]) -> list[list[int]]:
         em, lengths = self.emissions(texts)
+        if not self.cfg.use_crf:
+            # M6 argmax decode (`main.py:92-93`, `predict.py:47-48`)
+            arg = np.argmax(em, axis=2)
+            return [arg[b, : lengths[b]].tolist() for b in range(len(texts))]
         return viterbi_decode_batch(
             em, lengths, self.start_transitions, self.transitions, self.end_transitions
         )
@@ -173,6 +182,18 @@ class DeterministicTagger:
             return out
         tag_seqs = self.tag_ids(pieces)
         for (b, base), piece, seq in zip(owner, pieces, tag_seqs):
-            for mention, start, etype in bioes_decode_flat(seq, piece, self.id2ent):
+            for mention, start, etype in self._decode(seq, piece):
                 out[b].append((mention, base + start, etype))
         return out
+
+    def _decode(self, seq: list[int], piece: str) -> list[Span]:
+        if self.cfg.scheme == "BIO":
+            # D3 chunk extraction over tag strings (`decodeUtils.py:5-98`),
+            # reference quirks preserved (inclusive-end slice)
+            from .decode import bio_get_entities
+
+            tags = [self.id2ent[t] for t in seq]
+            return [
+                (m, s, t) for m, s, t in bio_get_entities(tags, piece) if t
+            ]
+        return bioes_decode_flat(seq, piece, self.id2ent)

@@ -160,19 +160,28 @@ def lsh_candidate_pairs(documents: DataFrame, n: int = 3,
     equi-join on (band_id, band_key)."""
     sig = minhash_signatures(documents, n, n_hashes)
     n_bands = n_hashes // band_size
-    band_rows = []
-    for b in range(n_bands):
-        cols = [F.col(f"h{k}") for k in range(b * band_size, (b + 1) * band_size)]
-        band_rows.append(
-            sig.select(
-                "doc_id",
+    # unpivot via one explode (NOT a per-band union: that would re-run the
+    # signature aggregation once per band)
+    band_structs = F.array(
+        *[
+            F.struct(
                 F.lit(b).alias("band_id"),
-                F.md5(F.concat_ws("|", *cols)).alias("band_key"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"h{k}")
+                            for k in range(b * band_size, (b + 1) * band_size)
+                        ],
+                    )
+                ).alias("band_key"),
             )
-        )
-    bands = band_rows[0]
-    for extra in band_rows[1:]:
-        bands = bands.unionByName(extra)
+            for b in range(n_bands)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", F.col("b.band_id").alias("band_id"), F.col("b.band_key").alias("band_key")
+    )
     a = bands.select(F.col("doc_id").alias("doc_a"), "band_id", "band_key")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band_id", "band_key")
     return (

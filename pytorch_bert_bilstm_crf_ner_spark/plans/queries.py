@@ -461,6 +461,61 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_cosine_topk(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
+def _mid_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mid_data-shaped table derived from documents + the word tagger
+    (labels = dictionary mentions with exclusive ends)."""
+    m = _dict_mentions(spark, sf_dir)
+    labels = (
+        m.withColumn("doc_id", F.expr("CAST(substring(conv_id, 6) AS BIGINT)"))
+        .groupBy("doc_id", "turn_idx")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("start", "mention", "type"))
+                ),
+                lambda s: F.struct(
+                    F.lit("T").alias("span_id"),
+                    s["type"].alias("type"),
+                    s["start"].alias("start"),
+                    (s["start"] + F.length(s["mention"])).cast("int").alias("end"),
+                    s["mention"].alias("mention"),
+                ),
+            ).alias("labels")
+        )
+    )
+    t = _transcripts(spark, sf_dir).withColumn(
+        "doc_id", F.expr("CAST(substring(conv_id, 6) AS BIGINT)")
+    )
+    return (
+        t.join(labels, ["doc_id", "turn_idx"], "left")
+        .select(
+            (F.col("doc_id") * 10000 + F.col("turn_idx")).alias("doc_id"),
+            "text",
+            F.coalesce("labels", F.array().cast(labels.schema["labels"].dataType)).alias("labels"),
+        )
+    )
+
+
+def q_training_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 ETL: mid-shaped turns -> fixed-length training feature arrays."""
+    from ..operators.features import build_features
+
+    return build_features(_mid_from_documents(spark, sf_dir))
+
+
+def q_augmented_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8+P9: template mask + deterministic entity substitution."""
+    from ..operators.augment import (
+        build_entity_inventory,
+        synthesize_from_templates,
+        template_mask,
+    )
+
+    mid = _mid_from_documents(spark, sf_dir)
+    inv = build_entity_inventory(mid)
+    return synthesize_from_templates(template_mask(mid), inv, repeat=1)
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import decode_media, synth_media
 
@@ -491,6 +546,8 @@ SPARK_QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "lsh_ann_topk": q_lsh_ann_topk,
     "media_features": q_media_features,
+    "training_features": q_training_features,
+    "augmented_corpus": q_augmented_corpus,
 }
 
 ORACLE_SQL = {
