@@ -53,6 +53,36 @@ def micro_prf_row(metrics_by_type: DataFrame) -> DataFrame:
     return out.withColumn("f1", f1)
 
 
+def classification_report(metrics_by_type: DataFrame, digits: int = 4) -> str:
+    """Driver-side per-type + micro P/R/F1 report — the
+    `metricsUtils.py:37-72` format (support column = tp + fn)."""
+    rows = sorted(metrics_by_type.collect(), key=lambda r: r["type"])
+    from ..core.metrics import get_p_r_f
+
+    width = max([len(r["type"]) for r in rows] + [len("micro-f1")])
+    lines = [
+        f"{'':>{width}} {'precision':>9} {'recall':>9} {'f1-score':>9} {'support':>9}",
+        "",
+    ]
+    tot = [0, 0, 0]
+    for r in rows:
+        p, rc, f1 = get_p_r_f(r["tp"], r["fp"], r["fn"])
+        lines.append(
+            f"{r['type']:>{width}} {p:>9.{digits}f} {rc:>9.{digits}f} "
+            f"{f1:>9.{digits}f} {r['tp'] + r['fn']:>9}"
+        )
+        tot[0] += r["tp"]
+        tot[1] += r["fp"]
+        tot[2] += r["fn"]
+    p, rc, f1 = get_p_r_f(*tot)
+    lines.append("")
+    lines.append(
+        f"{'micro-f1':>{width}} {p:>9.{digits}f} {rc:>9.{digits}f} "
+        f"{f1:>9.{digits}f} {tot[0] + tot[2]:>9}"
+    )
+    return "\n".join(lines)
+
+
 def triple_metrics(pred: DataFrame, gold: DataFrame) -> dict:
     """Exact-match triple P/R on (subj, pred, obj, conv_id) — the
     north_rule P/R >= 0.95 gate."""

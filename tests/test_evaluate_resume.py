@@ -1,0 +1,74 @@
+"""Eval join + report, salted-linking parity, pipeline kill-and-resume."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_span_metrics_and_report(spark):
+    from pytorch_bert_bilstm_crf_ner_spark.operators.evaluate import (
+        classification_report,
+        micro_prf_row,
+        span_metrics_by_type,
+    )
+
+    cols = ["conv_id", "turn_idx", "mention", "start", "type"]
+    gold = spark.createDataFrame(
+        [("c", 0, "a", 0, "NAME"), ("c", 0, "bb", 3, "ORG"), ("c", 1, "z", 1, "ORG")],
+        cols,
+    )
+    pred = spark.createDataFrame(
+        [("c", 0, "a", 0, "NAME"), ("c", 0, "bb", 4, "ORG")], cols
+    )
+    m = {r["type"]: (r["tp"], r["fp"], r["fn"]) for r in span_metrics_by_type(pred, gold).collect()}
+    assert m == {"NAME": (1, 0, 0), "ORG": (0, 1, 2)}
+    micro = micro_prf_row(span_metrics_by_type(pred, gold)).collect()[0]
+    assert abs(micro["precision"] - 0.5) < 1e-12
+    assert abs(micro["recall"] - 1 / 3) < 1e-12
+    report = classification_report(span_metrics_by_type(pred, gold))
+    assert "micro-f1" in report and "NAME" in report
+
+
+def test_salted_linking_matches_broadcast(spark):
+    from pytorch_bert_bilstm_crf_ner_spark.operators.linking import link_mentions
+    from pytorch_bert_bilstm_crf_ner_spark.operators.tagging import extract_mentions
+    from pytorch_bert_bilstm_crf_ner_spark.sources.entity_dict import entity_dict_df
+    from pytorch_bert_bilstm_crf_ner_spark.sources.transcripts import (
+        transcripts_from_documents,
+    )
+
+    m = extract_mentions(transcripts_from_documents(spark, SF_DIR)).persist()
+    m.count()
+    ed = entity_dict_df(spark)
+    a = {tuple(r) for r in link_mentions(m, ed, broadcast_dict=True).collect()}
+    b = {tuple(r) for r in link_mentions(m, ed, broadcast_dict=False, salt_buckets=7).collect()}
+    assert a == b and len(a) > 100
+    m.unpersist()
+
+
+def test_pipeline_resume(spark, tmp_path):
+    from pytorch_bert_bilstm_crf_ner_spark.plans.pipeline import (
+        PipelineConfig,
+        run_pipeline,
+    )
+
+    out = str(tmp_path / "kg")
+    st = run_pipeline(spark, SF_DIR, PipelineConfig(output_dir=out), run_id="r1")
+    n1 = st["triples"].count()
+    assert os.path.exists(f"{out}/_lineage/triples")
+    lineage = spark.read.parquet(f"{out}/_lineage/triples")
+    assert lineage.agg({"n_rows": "sum"}).collect()[0][0] == n1
+
+    # kill between stages: drop the triples output, keep mentions
+    shutil.rmtree(f"{out}/triples")
+    st2 = run_pipeline(spark, SF_DIR, PipelineConfig(output_dir=out), run_id="r2")
+    assert st2["triples"].count() == n1
+    # mentions stage was NOT recomputed: its lineage still carries run_id r1
+    got = {r["run_id"] for r in spark.read.parquet(f"{out}/_lineage/mentions").collect()}
+    assert got == {"r1"}
+    # triples stage WAS recomputed under r2
+    got_t = {r["run_id"] for r in spark.read.parquet(f"{out}/_lineage/triples").collect()}
+    assert got_t == {"r2"}
