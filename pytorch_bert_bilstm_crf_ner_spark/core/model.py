@@ -23,7 +23,7 @@ everything downstream (Viterbi, FSM, offsets) is unchanged.
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

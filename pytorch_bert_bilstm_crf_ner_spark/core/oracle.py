@@ -18,7 +18,7 @@ from collections import defaultdict
 from dataclasses import dataclass
 
 from .entities import ENTITY_DICT_ROWS, canonical_map
-from .model import DeterministicTagger, TaggerConfig
+from .model import DeterministicTagger
 
 Turn = tuple[str, int, str]  # (conv_id, turn_idx, text)
 

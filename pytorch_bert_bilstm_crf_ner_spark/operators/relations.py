@@ -57,25 +57,23 @@ def adjacent_relations(
 
     left = canonical_mentions.select(
         "conv_id", "turn_idx", "start", "mention",
-        F.col("canonical_id").alias("l_cid"),
-        F.col("canonical_name").alias("l_name"),
+        F.col("canonical_id").alias("subj_cid"),
     )
     right = canonical_mentions.select(
         "conv_id", "turn_idx",
         F.col("start").alias("nxt_start"),
         F.col("mention").alias("nxt_mention"),
-        F.col("canonical_id").alias("r_cid"),
-        F.col("canonical_name").alias("r_name"),
+        F.col("canonical_id").alias("obj_cid"),
     )
     return (
         m.join(left, ["conv_id", "turn_idx", "start", "mention"])
         .join(right, ["conv_id", "turn_idx", "nxt_start", "nxt_mention"])
-        .filter(F.col("l_cid") != F.col("r_cid"))
+        .filter(F.col("subj_cid") != F.col("obj_cid"))
         .select(
             "conv_id",
-            F.col("l_name").alias("subj"),
+            "subj_cid",
             F.lit(cfg.adjacent_pred).alias("pred"),
-            F.col("r_name").alias("obj"),
+            "obj_cid",
             "turn_idx",
         )
     )
@@ -92,8 +90,7 @@ def cooccurrence_relations(
         "conv_id",
         F.col("turn_idx").alias("src_turn"),
         F.col("start").alias("src_start"),
-        F.col("canonical_id").alias("src_cid"),
-        F.col("canonical_name").alias("subj"),
+        F.col("canonical_id").alias("subj_cid"),
         F.explode(
             F.sequence(F.col("turn_idx"), F.col("turn_idx") + W)
         ).alias("probe_turn"),
@@ -102,13 +99,12 @@ def cooccurrence_relations(
         "conv_id",
         F.col("turn_idx").alias("probe_turn"),
         F.col("start").alias("dst_start"),
-        F.col("canonical_id").alias("dst_cid"),
-        F.col("canonical_name").alias("obj"),
+        F.col("canonical_id").alias("obj_cid"),
     )
     return (
         probe.join(build, ["conv_id", "probe_turn"])
         .filter(
-            (F.col("src_cid") != F.col("dst_cid"))
+            (F.col("subj_cid") != F.col("obj_cid"))
             & (
                 (F.col("probe_turn") > F.col("src_turn"))
                 | (F.col("dst_start") > F.col("src_start"))
@@ -116,9 +112,9 @@ def cooccurrence_relations(
         )
         .select(
             "conv_id",
-            "subj",
+            "subj_cid",
             F.lit(cfg.cooccur_pred).alias("pred"),
-            "obj",
+            "obj_cid",
             F.col("src_turn").alias("turn_idx"),
         )
     )
@@ -135,11 +131,27 @@ def triples(
     ev = adjacent_relations(mentions, canonical_mentions, transcripts, cfg).unionByName(
         cooccurrence_relations(canonical_mentions, cfg)
     )
+    # Evidence rows carry canonical IDS, not names: the wide shuffle (one
+    # row per co-occurrence instance) moves two bigints instead of two
+    # entity-name strings; names are resolved AFTER the aggregation via a
+    # broadcast join against the tiny id->name map.
+    agg = ev.groupBy("conv_id", "subj_cid", "pred", "obj_cid").agg(
+        F.min("turn_idx").alias("turn_idx"),
+        F.count(F.lit(1)).alias("n_evidence"),
+    )
+    names = canonical_mentions.select(
+        "canonical_id", "canonical_name"
+    ).dropDuplicates(["canonical_id"])
     return (
-        ev.groupBy("conv_id", "subj", "pred", "obj")
-        .agg(
-            F.min("turn_idx").alias("turn_idx"),
-            F.count(F.lit(1)).alias("n_evidence"),
+        agg.join(
+            F.broadcast(names.withColumnRenamed("canonical_id", "subj_cid")
+                        .withColumnRenamed("canonical_name", "subj")),
+            "subj_cid",
+        )
+        .join(
+            F.broadcast(names.withColumnRenamed("canonical_id", "obj_cid")
+                        .withColumnRenamed("canonical_name", "obj")),
+            "obj_cid",
         )
         .select("subj", "pred", "obj", "conv_id", "turn_idx", "n_evidence")
     )
