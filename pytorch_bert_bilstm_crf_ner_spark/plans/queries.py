@@ -393,6 +393,78 @@ def q_canonical_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------- #
+# query: event-time windows over the events table (W3/W4 on timestamps)
+
+
+def q_events_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running sum of value ordered by event time (ties broken by
+    event_id) — the cumulative-offset window pattern on a time axis."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 4).alias("running_value"),
+        F.row_number().over(w).alias("event_rank"),
+    )
+
+
+Q_EVENTS_RUNNING_SQL = """
+SELECT user_id, event_id,
+       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4)
+         AS running_value,
+       CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT)
+         AS event_rank
+FROM events
+"""
+
+
+def q_events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a >30-minute silence starts a new session
+    (lag + cumulative-flag pattern); per-session aggregates."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_session",
+            (
+                F.col("prev_ts").isNull()
+                | (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts") > 1800)
+            ).cast("int"),
+        )
+        .withColumn("session_id", F.sum("new_session").over(w))
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("session_value"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+    )
+
+
+Q_EVENTS_SESSION_SQL = """
+WITH g AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+            AS session_id
+  FROM g
+)
+SELECT user_id, session_id,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS session_value,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+FROM s GROUP BY user_id, session_id
+"""
+
+
+# --------------------------------------------------------------------- #
 # training-data-pipeline operators: dedup / similarity / text analysis /
 # multimodal (documents + embeddings tables)
 
@@ -532,6 +604,8 @@ SPARK_QUERIES = {
     "adjacent_pairs": q_adjacent_pairs,
     "cooccur_triples": q_cooccur_triples,
     "span_eval": q_span_eval,
+    "events_running_value": q_events_running_value,
+    "events_sessionized": q_events_sessionized,
     "kg_mentions": q_kg_mentions,
     "kg_triples": q_kg_triples,
     "canonical_entities": q_canonical_entities,
@@ -559,6 +633,8 @@ ORACLE_SQL = {
     "adjacent_pairs": Q_ADJACENT_PAIRS_SQL,
     "cooccur_triples": Q_COOCCUR_SQL,
     "span_eval": Q_SPAN_EVAL_SQL,
+    "events_running_value": Q_EVENTS_RUNNING_SQL,
+    "events_sessionized": Q_EVENTS_SESSION_SQL,
     # kg_mentions / kg_triples / canonical_entities: no ANSI-SQL equivalent
     # (Arrow-batched CRF UDF, iterative connected components) — rows-only.
     # lsh_ann_topk (seeded hyperplanes) and media_features (binary decode
