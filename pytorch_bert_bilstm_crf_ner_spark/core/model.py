@@ -69,6 +69,8 @@ class TaggerConfig:
     gazetteer: tuple[tuple[str, str], ...] = DEFAULT_GAZETTEER
     scheme: str = "BIOES"       # or "BIO" (D3 decode path)
     use_crf: bool = True        # False -> argmax decode (M6, `main.py:92-93`)
+    feature_layer: str = "none"  # "bilstm" (M2) / "idcnn" (M3) / "none" (M5)
+    feature_hidden: int = 16
 
 
 class DeterministicTagger:
@@ -84,8 +86,22 @@ class DeterministicTagger:
         rng = np.random.RandomState(c.seed)
         self.embedding = rng.uniform(
             -0.5, 0.5, (c.vocab_size, c.emb_dim)).astype(np.float32)
+        # optional feature layer between embedding and classifier — the
+        # reference's bilstm_crf / idcnn_crf model families (M2/M3)
+        self.feature = None
+        feat_dim = c.emb_dim
+        if c.feature_layer == "bilstm":
+            from .layers import NumpyBiLSTM
+
+            self.feature = NumpyBiLSTM(c.emb_dim, c.feature_hidden, c.seed + 1)
+            feat_dim = self.feature.out_dim
+        elif c.feature_layer == "idcnn":
+            from .layers import NumpyIDCNN
+
+            self.feature = NumpyIDCNN(c.emb_dim, c.feature_hidden, c.seed + 1)
+            feat_dim = self.feature.out_dim
         self.linear_w = rng.uniform(
-            -0.5, 0.5, (c.emb_dim, self.num_tags)).astype(np.float32)
+            -0.5, 0.5, (feat_dim, self.num_tags)).astype(np.float32)
         self.linear_b = rng.uniform(-0.1, 0.1, self.num_tags).astype(np.float32)
         # CRF init order exactly as layers/CRF.py:50-52
         self.start_transitions = rng.uniform(-0.1, 0.1, self.num_tags).astype(np.float32)
@@ -123,16 +139,31 @@ class DeterministicTagger:
             raise ValueError("empty text reached the tagger; filter upstream")
         flat = "".join(texts)
         ids = np.frombuffer(flat.encode("utf-32-le"), dtype=np.uint32) % c.vocab_size
-        logits = self.embedding[ids] @ self.linear_w + self.linear_b
-        logits = (c.noise_scale * np.tanh(logits)).astype(np.float32)
-
         B, Lmax = len(texts), int(lengths.max())
+        offsets = np.concatenate(([0], np.cumsum(lengths)))
+        if self.feature is None:
+            # fast path (M5): one flat gather + matmul for the whole batch
+            logits = self.embedding[ids] @ self.linear_w + self.linear_b
+        else:
+            # M2/M3 path: padded (B, Lmax, D) through the feature layer
+            emb = np.zeros((B, Lmax, self.cfg.emb_dim), dtype=np.float32)
+            for b in range(B):
+                L = lengths[b]
+                emb[b, :L] = self.embedding[ids[offsets[b] : offsets[b] + L]]
+            feats = self.feature(emb)
+            logits_pad = feats @ self.linear_w + self.linear_b
         em = np.zeros((B, Lmax, self.num_tags), dtype=np.float32)
         em[:, :, 0] = c.o_bias
-        offsets = np.concatenate(([0], np.cumsum(lengths)))
         for b, text in enumerate(texts):
             L = lengths[b]
-            em[b, :L, :] += logits[offsets[b] : offsets[b] + L]
+            if self.feature is None:
+                em[b, :L, :] += (
+                    c.noise_scale * np.tanh(logits[offsets[b] : offsets[b] + L])
+                ).astype(np.float32)
+            else:
+                em[b, :L, :] += (
+                    c.noise_scale * np.tanh(logits_pad[b, :L])
+                ).astype(np.float32)
             for m in self._gaz_re.finditer(text):
                 s, e = m.start(), m.end()
                 etype = self._gaz_type[m.group(1)]

@@ -39,12 +39,17 @@ SPAN_STRUCT = StructType(
 MENTIONS_SCHEMA = ArrayType(SPAN_STRUCT)
 
 
-def make_tag_turns_udf(cfg: TaggerConfig | None = None):
+def make_tag_turns_udf(cfg: TaggerConfig | None = None, tagger_factory=None):
+    """``tagger_factory`` swaps in another tagger with the same
+    ``tag_batch`` interface — e.g. the real-model path
+    ``lambda: core.bert_encoder.BertCrfTagger(model_dir)`` (weights loaded
+    once per python worker thanks to the iterator form)."""
     cfg = cfg or TaggerConfig()
+    factory = tagger_factory or (lambda: DeterministicTagger(cfg))
 
     @pandas_udf(MENTIONS_SCHEMA)
     def tag_turns(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        tagger = DeterministicTagger(cfg)  # once per python worker
+        tagger = factory()  # once per python worker
         for texts in batches:
             rows = tagger.tag_batch(texts.fillna("").tolist())
             yield pd.Series(
