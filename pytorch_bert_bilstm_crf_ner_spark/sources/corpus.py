@@ -149,6 +149,75 @@ def read_gdcq_csv(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.csv(path, header=True, inferSchema=False)
 
 
+def gdcq_to_mid(gdcq: DataFrame) -> DataFrame:
+    """gdcq CSV rows -> mid_data shape, reference-exact
+    (`data/gdcq/raw_data/process.py:66-98`) including its quirks:
+
+    - the OPINION label is gated on ``Categories != "_"`` (not on
+      OpinionTerms — `process.py:95`);
+    - label ids are always "T0" (`process.py:94,96`);
+    - a row whose aspect offsets don't parse contributes NOTHING (the
+      reference's try wraps both appends), while an unparseable opinion
+      offset keeps an already-appended aspect label;
+    - the doc text is the first row's text per id.
+    """
+    a_start = F.expr("try_cast(trim(A_start) AS INT)")
+    a_end = F.expr("try_cast(trim(A_end) AS INT)")
+    o_start = F.expr("try_cast(trim(O_start) AS INT)")
+    o_end = F.expr("try_cast(trim(O_end) AS INT)")
+    a_wanted = F.col("AspectTerms") != "_"
+    a_ok = a_wanted & a_start.isNotNull() & a_end.isNotNull()
+    # opinion survives only if the aspect append did not raise first
+    o_gate = (~a_wanted) | a_ok
+    o_ok = (
+        (F.col("Categories") != "_")
+        & o_gate
+        & o_start.isNotNull()
+        & o_end.isNotNull()
+    )
+    a_label = F.when(
+        a_ok,
+        F.struct(
+            F.lit("T0").alias("span_id"),
+            F.col("Categories").alias("type"),
+            a_start.alias("start"),
+            a_end.alias("end"),
+            F.col("AspectTerms").alias("mention"),
+        ),
+    )
+    o_label = F.when(
+        o_ok,
+        F.struct(
+            F.lit("T0").alias("span_id"),
+            F.col("Polarities").alias("type"),
+            o_start.alias("start"),
+            o_end.alias("end"),
+            F.col("OpinionTerms").alias("mention"),
+        ),
+    )
+    with_order = gdcq.withColumn("row_ord", F.expr("CAST(`_c0` AS BIGINT)")) if "_c0" in gdcq.columns else gdcq.withColumn(
+        "row_ord", F.monotonically_increasing_id()
+    )
+    return (
+        with_order.withColumn("labs", F.array(a_label, o_label))
+        .groupBy(F.col("id").cast("long").alias("doc_id"))
+        .agg(
+            F.min_by("text", "row_ord").alias("text"),
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("row_ord", F.col("labs").alias("labs")))
+                        ),
+                        lambda s: s["labs"],
+                    )
+                ),
+                lambda x: x.isNotNull(),
+            ).alias("labels"),
+        )
+    )
+
+
 def read_mid_data(spark: SparkSession, path: str) -> DataFrame:
     """S4: mid_data JSON array -> typed mid_data DataFrame.  The raw label
     rows are heterogeneous JSON arrays (["T0","NAME",0,2,"高勇"]) which

@@ -120,3 +120,50 @@ def test_read_gdcq_csv(spark):
     df = read_gdcq_csv(spark, path)
     assert {"AspectTerms", "OpinionTerms", "Polarities", "text"} <= set(df.columns)
     assert df.count() > 100
+
+
+@needs_ref
+def test_gdcq_to_mid_matches_reference(spark):
+    """Spark S3 transform vs the reference's pandas loop
+    (`data/gdcq/raw_data/process.py:66-98`), quirks included."""
+    import pandas as pd
+
+    from pytorch_bert_bilstm_crf_ner_spark.sources.corpus import (
+        gdcq_to_mid,
+        read_gdcq_csv,
+    )
+
+    path = f"{REF}/data/gdcq/raw_data/Train_merge.csv"
+    if not os.path.exists(path):
+        pytest.skip("gdcq corpus absent")
+    got = {r["doc_id"]: r for r in gdcq_to_mid(read_gdcq_csv(spark, path)).collect()}
+
+    data = pd.read_csv(path, encoding="utf-8")
+    id_set, res, tmp = set(), [], {}
+    for _, d in data.iterrows():
+        did, aspect, a_s, a_e, opinion, o_s, o_e, cat, pol, text = (
+            d[1], d[2], d[3], d[4], d[5], d[6], d[7], d[8], d[9], d[10]
+        )
+        if did not in id_set:
+            if tmp:
+                res.append(tmp)
+            id_set.add(did)
+            tmp = {"id": did, "text": text, "labels": []}
+        try:
+            if aspect != "_":
+                tmp["labels"].append(["T0", cat, int(a_s), int(a_e), aspect])
+            if cat != "_":
+                tmp["labels"].append(["T0", pol, int(o_s), int(o_e), opinion])
+        except Exception:
+            continue
+    if tmp:
+        res.append(tmp)
+
+    assert len(got) == len(res)
+    for doc in res:
+        r = got[doc["id"]]
+        assert r["text"] == doc["text"]
+        assert [
+            (lab["span_id"], lab["type"], lab["start"], lab["end"], lab["mention"])
+            for lab in r["labels"]
+        ] == [tuple(x) for x in doc["labels"]]
