@@ -72,3 +72,50 @@ def test_pipeline_resume(spark, tmp_path):
     # triples stage WAS recomputed under r2
     got_t = {r["run_id"] for r in spark.read.parquet(f"{out}/_lineage/triples").collect()}
     assert got_t == {"r2"}
+
+
+def test_evaluate_extractor_job(spark):
+    """E2 eval flow: gold derived from the tagger's own output must score
+    perfect micro F1; corrupted gold must not."""
+    import pyspark.sql.functions as F
+
+    from pytorch_bert_bilstm_crf_ner_spark.core.model import DeterministicTagger
+    from pytorch_bert_bilstm_crf_ner_spark.plans.eval_job import (
+        classification_report,
+        evaluate_extractor,
+    )
+    from pytorch_bert_bilstm_crf_ner_spark.sources.corpus import MID_SCHEMA
+
+    texts = [
+        "run a table scan then hash join on the customer line",
+        "spark query uses merge sort and a small window batch",
+    ]
+    tagger = DeterministicTagger()
+    rows = []
+    for i, (text, spans) in enumerate(zip(texts, tagger.tag_batch(texts))):
+        labels = [
+            (f"T{j}", t, s, s + len(m), m) for j, (m, s, t) in enumerate(spans)
+        ]
+        rows.append((i, text, labels))
+    mid = spark.createDataFrame(rows, MID_SCHEMA)
+    metrics, micro = evaluate_extractor(mid)
+    row = micro.collect()[0]
+    assert row["precision"] == 1.0 and row["recall"] == 1.0 and row["f1"] == 1.0
+    assert "micro-f1" in classification_report(metrics)
+
+    # corrupt one golden start -> recall drops below 1
+    bad = mid.withColumn(
+        "labels",
+        F.transform(
+            "labels",
+            lambda lab: F.struct(
+                lab["span_id"].alias("span_id"),
+                lab["type"].alias("type"),
+                (lab["start"] + 1).alias("start"),
+                (lab["end"] + 1).alias("end"),
+                lab["mention"].alias("mention"),
+            ),
+        ),
+    )
+    _, micro2 = evaluate_extractor(bad)
+    assert micro2.collect()[0]["f1"] < 1.0
