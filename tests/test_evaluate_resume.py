@@ -119,3 +119,27 @@ def test_evaluate_extractor_job(spark):
     )
     _, micro2 = evaluate_extractor(bad)
     assert micro2.collect()[0]["f1"] < 1.0
+
+
+def test_distributed_connected_components(spark):
+    """The min-label-propagation loop (the scale path the driver-side
+    union-find fast path replaces for small dictionaries)."""
+    from pytorch_bert_bilstm_crf_ner_spark.core.entities import (
+        connected_components_py,
+    )
+    from pytorch_bert_bilstm_crf_ner_spark.operators.canonicalize import (
+        connected_components,
+    )
+
+    # chain 1-2-3-4-5, star 10-(11,12,13), isolated 20, pair 30-31
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (10, 12), (10, 13), (30, 31)]
+    edges_df = spark.createDataFrame(edges, "src BIGINT, dst BIGINT")
+    verts_df = spark.createDataFrame([(20,)], "id BIGINT")
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(edges_df, verts_df).collect()
+    }
+    nodes = sorted({n for e in edges for n in e} | {20})
+    want = connected_components_py(nodes, edges)
+    assert got == want
+    assert got[5] == 1 and got[13] == 10 and got[20] == 20 and got[31] == 30
