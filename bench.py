@@ -70,6 +70,13 @@ def run_default(sf_dir: str, cpus: int) -> dict:
         "span_eval",
         "turn_offsets",
         "conversation_stats",
+        "dedup_exact",
+        "minhash_signatures",
+        "lsh_candidate_pairs",
+        "simhash",
+        "cosine_topk",
+        "text_profile",
+        "events_sessionized",
     ):
         fn = SPARK_QUERIES[name]
         t0 = time.time()

@@ -68,16 +68,30 @@ FROM documents
 
 
 def ngram_jaccard_pairs(documents: DataFrame, n: int = 3,
-                        threshold: float = 0.8) -> DataFrame:
+                        threshold: float = 0.8,
+                        max_shingle_docs: int | None = None) -> DataFrame:
     """(doc_a, doc_b, jaccard) for pairs over the threshold; doc_a < doc_b.
 
     Shingle self-join counts the intersection; per-doc shingle counts give
     the union by inclusion-exclusion — no quadratic cross join.
+
+    ``max_shingle_docs``: at corpus scale the self-join is dominated by
+    stop-shingles appearing in a large fraction of documents (a shingle in
+    k docs contributes k^2 join rows).  Capping drops those shingles from
+    the INTERSECTION counting (per-doc totals keep them), which slightly
+    under-estimates jaccard for pairs whose only overlap is ubiquitous
+    shingles — the standard recall/cost trade; leave None for exact.
     """
     sh = _shingles(documents, n)
+    if max_shingle_docs is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        rare = freq.filter(F.col("df") <= max_shingle_docs).select("shingle")
+        sh_join = sh.join(rare, "shingle", "left_semi")
+    else:
+        sh_join = sh
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    a = sh_join.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh_join.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
         a.join(b, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))

@@ -81,6 +81,14 @@ def get_spark(
             if os.path.isdir("/dev/shm")
             else os.environ.get("SPARK_LOCAL_DIRS", "/tmp"),
         )
+        # managed tables (bucketing) land outside the repo
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_WAREHOUSE_DIR",
+                os.path.join(tempfile.gettempdir(), "spark-warehouse"),
+            ),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

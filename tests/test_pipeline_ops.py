@@ -72,3 +72,22 @@ def test_synth_transcripts_deterministic(spark):
 
     sizes = Counter(r["conv_id"] for r in a)
     assert max(sizes.values()) >= 10 * min(sizes.values())
+
+
+def test_jaccard_shingle_frequency_cap(spark):
+    """The stop-shingle cap must keep genuinely near-dup pairs (their
+    overlap is rare shingles) while pruning join volume."""
+    from pytorch_bert_bilstm_crf_ner_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    exact = {
+        (r["doc_a"], r["doc_b"]) for r in ngram_jaccard_pairs(docs, 3, 0.8).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(docs, 3, 0.8, max_shingle_docs=50).collect()
+    }
+    assert exact, "expected planted near-dup pairs in sf0.01"
+    assert capped == exact  # near-dup overlap here is rare shingles
