@@ -79,6 +79,89 @@ def adjacent_relations(
     )
 
 
+def cooccurrence_evidence_preagg(
+    canonical_mentions: DataFrame,
+    cfg: RelationConfig = RelationConfig(),
+) -> DataFrame:
+    """Pre-aggregated co-occurrence evidence — identical counts to the
+    instance-pair path, far less shuffle when entities repeat.
+
+    Split by case:
+    - cross-turn (t2 > t1): every instance of cid1@t1 pairs with every
+      instance of cid2@t2, so the evidence count is the PRODUCT of the two
+      per-(conv, turn, cid) multiplicities — aggregate counts first (rows
+      shrink from instances to distinct (turn, cid)), then the explode-to-
+      equi-join runs over the compact relation with n1*n2 as weight.
+    - same-turn (t2 == t1): direction depends on start order, which a
+      product cannot see — that slice stays instance-level (it is bounded
+      by mentions-per-turn, not by conversation length).
+
+    Output: (conv_id, subj_cid, pred, obj_cid, turn_idx, n_evidence) —
+    already weighted; aggregate with SUM(n_evidence), MIN(turn_idx).
+    """
+    W = cfg.cooccur_window
+    per_turn = canonical_mentions.groupBy(
+        "conv_id", "turn_idx", "canonical_id"
+    ).agg(F.count(F.lit(1)).alias("n_inst"))
+
+    probe = per_turn.select(
+        "conv_id",
+        F.col("turn_idx").alias("src_turn"),
+        F.col("canonical_id").alias("subj_cid"),
+        F.col("n_inst").alias("n_src"),
+        F.explode(
+            F.sequence(F.col("turn_idx") + 1, F.col("turn_idx") + W)
+        ).alias("probe_turn"),
+    )
+    build = per_turn.select(
+        "conv_id",
+        F.col("turn_idx").alias("probe_turn"),
+        F.col("canonical_id").alias("obj_cid"),
+        F.col("n_inst").alias("n_dst"),
+    )
+    cross_turn = (
+        probe.join(build, ["conv_id", "probe_turn"])
+        .filter(F.col("subj_cid") != F.col("obj_cid"))
+        .select(
+            "conv_id",
+            "subj_cid",
+            F.lit(cfg.cooccur_pred).alias("pred"),
+            "obj_cid",
+            F.col("src_turn").alias("turn_idx"),
+            (F.col("n_src") * F.col("n_dst")).cast("long").alias("n_evidence"),
+        )
+    )
+
+    a = canonical_mentions.select(
+        "conv_id", "turn_idx",
+        F.col("start").alias("src_start"),
+        F.col("canonical_id").alias("subj_cid"),
+    )
+    b = canonical_mentions.select(
+        "conv_id", "turn_idx",
+        F.col("start").alias("dst_start"),
+        F.col("canonical_id").alias("obj_cid"),
+    )
+    same_turn = (
+        a.join(b, ["conv_id", "turn_idx"])
+        .filter(
+            (F.col("subj_cid") != F.col("obj_cid"))
+            & (F.col("dst_start") > F.col("src_start"))
+        )
+        .groupBy("conv_id", "turn_idx", "subj_cid", "obj_cid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_evidence"))
+        .select(
+            "conv_id",
+            "subj_cid",
+            F.lit(cfg.cooccur_pred).alias("pred"),
+            "obj_cid",
+            "turn_idx",
+            "n_evidence",
+        )
+    )
+    return cross_turn.unionByName(same_turn)
+
+
 def cooccurrence_relations(
     canonical_mentions: DataFrame,
     cfg: RelationConfig = RelationConfig(),
@@ -125,19 +208,32 @@ def triples(
     canonical_mentions: DataFrame,
     transcripts: DataFrame,
     cfg: RelationConfig = RelationConfig(),
+    preagg_cooccurrence: bool = False,
 ) -> DataFrame:
     """Distinct triples with evidence: (subj, pred, obj, conv_id,
-    turn_idx = min evidence turn, n_evidence)."""
-    ev = adjacent_relations(mentions, canonical_mentions, transcripts, cfg).unionByName(
-        cooccurrence_relations(canonical_mentions, cfg)
+    turn_idx = min evidence turn, n_evidence).
+
+    ``preagg_cooccurrence=True`` swaps the instance-pair co-occurrence for
+    :func:`cooccurrence_evidence_preagg` (identical counts, compact
+    shuffle — the scale path when entities repeat within conversations;
+    equality is pinned by tests)."""
+    adj = adjacent_relations(mentions, canonical_mentions, transcripts, cfg).withColumn(
+        "n_evidence", F.lit(1).cast("long")
     )
+    if preagg_cooccurrence:
+        co = cooccurrence_evidence_preagg(canonical_mentions, cfg)
+    else:
+        co = cooccurrence_relations(canonical_mentions, cfg).withColumn(
+            "n_evidence", F.lit(1).cast("long")
+        )
+    ev = adj.unionByName(co)
     # Evidence rows carry canonical IDS, not names: the wide shuffle (one
     # row per co-occurrence instance) moves two bigints instead of two
     # entity-name strings; names are resolved AFTER the aggregation via a
     # broadcast join against the tiny id->name map.
     agg = ev.groupBy("conv_id", "subj_cid", "pred", "obj_cid").agg(
         F.min("turn_idx").alias("turn_idx"),
-        F.count(F.lit(1)).alias("n_evidence"),
+        F.sum("n_evidence").alias("n_evidence"),
     )
     names = canonical_mentions.select(
         "canonical_id", "canonical_name"

@@ -143,3 +143,32 @@ def test_distributed_connected_components(spark):
     want = connected_components_py(nodes, edges)
     assert got == want
     assert got[5] == 1 and got[13] == 10 and got[20] == 20 and got[31] == 30
+
+
+def test_preagg_cooccurrence_equals_instance_level(spark):
+    """The compact-shuffle co-occurrence path must produce byte-identical
+    triples, including multiplicity counts for repeated entities."""
+    from pytorch_bert_bilstm_crf_ner_spark.operators.canonicalize import (
+        canonical_entities,
+        canonicalize_mentions,
+    )
+    from pytorch_bert_bilstm_crf_ner_spark.operators.linking import link_mentions
+    from pytorch_bert_bilstm_crf_ner_spark.operators.relations import triples
+    from pytorch_bert_bilstm_crf_ner_spark.operators.tagging import extract_mentions
+    from pytorch_bert_bilstm_crf_ner_spark.sources.entity_dict import entity_dict_df
+    from pytorch_bert_bilstm_crf_ner_spark.sources.synth import synth_transcripts
+
+    # synth text repeats vocabulary words within and across turns, so
+    # per-(turn, cid) multiplicities > 1 occur and exercise the products
+    tr = synth_transcripts(spark, 300, partitions=4).persist()
+    m = extract_mentions(tr).persist()
+    m.count()
+    ed = entity_dict_df(spark)
+    cm = canonicalize_mentions(link_mentions(m, ed), canonical_entities(ed)).persist()
+    cm.count()
+    base = {tuple(r) for r in triples(m, cm, tr).collect()}
+    fast = {tuple(r) for r in triples(m, cm, tr, preagg_cooccurrence=True).collect()}
+    assert len(base) > 1000
+    assert base == fast
+    for df in (tr, m, cm):
+        df.unpersist()
