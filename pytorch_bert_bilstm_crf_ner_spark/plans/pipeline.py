@@ -42,6 +42,7 @@ class PipelineConfig:
     broadcast_dict: bool = True
     repartition: int | None = None     # parallelism of the UDF stage
     output_dir: str | None = None      # None = fully lazy, no materialization
+    preagg_cooccurrence: bool = False  # compact-shuffle evidence counting
 
 
 def _stage_done(out: str, stage: str) -> bool:
@@ -129,7 +130,10 @@ def run_pipeline(
     if out is None:
         canonical = canonical.persist()
 
-    trip = build_triples(mentions, canonical, transcripts, cfg.relations)
+    trip = build_triples(
+        mentions, canonical, transcripts, cfg.relations,
+        preagg_cooccurrence=cfg.preagg_cooccurrence,
+    )
     # graph table partitioned by predicate — partition pruning for
     # per-relation queries (Iceberg would add days(ts) etc.)
     trip = _materialize(trip, out, "triples", run_id, partition_by=("pred",))
