@@ -106,8 +106,16 @@ def run_scaling(n_convs: int, n_low: int = 8, n_high: int = 32) -> dict:
 
     results = {}
     repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "3"))
+    # SPARK_GRAFT_AQE=false isolates data-path scaling from AQE's per-stage
+    # driver re-planning latency (~6s on this sub-minute job; amortized to
+    # nothing at production run lengths, where AQE stays on for skew)
+    aqe = os.environ.get("SPARK_GRAFT_AQE", "true")
     for cores in (n_low, n_high):
-        spark = get_spark(app_name=f"bench-scaling-{cores}", cores=cores)
+        spark = get_spark(
+            app_name=f"bench-scaling-{cores}",
+            cores=cores,
+            extra_conf={"spark.sql.adaptive.enabled": aqe},
+        )
         spark.sparkContext.setLogLevel("ERROR")
         spark.range(1000).selectExpr("sum(id)").collect()
         tr = synth_transcripts(spark, n_convs, partitions=cores * 2)
