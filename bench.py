@@ -30,8 +30,11 @@ def _pipeline_secs(spark, sf_dir, transcripts_df=None):
         run_pipeline,
     )
 
+    cfg = PipelineConfig(
+        preagg_cooccurrence=os.environ.get("SPARK_GRAFT_PREAGG", "") == "1"
+    )
     t0 = time.time()
-    st = run_pipeline(spark, sf_dir, PipelineConfig(), transcripts_df=transcripts_df)
+    st = run_pipeline(spark, sf_dir, cfg, transcripts_df=transcripts_df)
     n_triples = st["triples"].count()
     dt = time.time() - t0
     n_turns = st["transcripts"].count()
