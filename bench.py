@@ -31,7 +31,9 @@ def _pipeline_secs(spark, sf_dir, transcripts_df=None):
     )
 
     cfg = PipelineConfig(
-        preagg_cooccurrence=os.environ.get("SPARK_GRAFT_PREAGG", "") == "1"
+        # preagg evidence counting is the default; "0" switches the
+        # instance-pair path back on for A/B runs (see BASELINE.md)
+        preagg_cooccurrence=os.environ.get("SPARK_GRAFT_PREAGG", "1") == "1"
     )
     t0 = time.time()
     st = run_pipeline(spark, sf_dir, cfg, transcripts_df=transcripts_df)
@@ -85,6 +87,26 @@ def run_default(sf_dir: str, cpus: int) -> dict:
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         queries[name] = round(time.time() - t0, 3)
+
+    # production-shape MinHash/LSH (K=64, 16 bands x r=4) — the registered
+    # K=8 twin is the oracle-portable toy; this times the real parameters
+    # (recall curve in BASELINE.md)
+    from pytorch_bert_bilstm_crf_ner_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t0 = time.time()
+    minhash_signatures(docs, n_hashes=64).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    queries["minhash_k64"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    lsh_candidate_pairs(docs, n_hashes=64, band_size=4).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    queries["lsh_pairs_k64_b16"] = round(time.time() - t0, 3)
     spark.stop()
 
     return {

@@ -1,5 +1,17 @@
-"""BMES char-file parsing — bit-exact port of the reference corpus
-normalizer `data/cner/raw_data/process.py:5-87` (the S1 scan).
+"""BMES char-file parsing — port of the reference corpus normalizer
+`data/cner/raw_data/process.py:5-87` (the S1 scan).  Bit-exact on
+well-formed files (every sentence terminated by a blank line, no entity
+spanning a sentence break) — which is what the cner corpus is and what the
+parity tests pin.  Two intentional deviations on MALFORMED input:
+
+- a half-open entity (B-/M- without E-) is reset at the sentence break
+  here; the reference carries ``entity_tmp`` across the break into the
+  next sentence;
+- a final sentence not followed by a trailing blank line is flushed here;
+  the reference silently drops it.
+
+Both reference behaviors are data-loss bugs on inputs the reference never
+sees; a corpus scanner at 100 TB should not inherit them.
 
 Reference semantics, preserved quirks included:
 - lines are ``char SPACE tag``; a non-2-field line (blank) closes the

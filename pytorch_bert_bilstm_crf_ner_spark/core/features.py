@@ -28,6 +28,40 @@ class FeatureConfig:
     vocab_size: int = 4099  # hashed char buckets (same as TaggerConfig)
     types: tuple[str, ...] = CNER_TYPES
     scheme: str = "BIOES"
+    # P5: run fine_grade_tokenize ([BLANK]/[INV] char mapping) before id
+    # lookup.  Default off — the reference itself leaves the call commented
+    # out at its call sites (`preprocess.py:92`), and plain list(text) is
+    # its effective behavior there.
+    fine_tokenize: bool = False
+
+
+BLANK_TOKEN, INV_TOKEN = "[BLANK]", "[INV]"
+BLANK_ID, INV_ID = 3, 4
+FINE_CHAR_OFFSET = 5
+
+
+def fine_grade_tokenize(raw_text: str, is_known=None) -> list[str]:
+    """P5 — char-level tokenize with special placeholders, a faithful port
+    of `utils/commonUtils.py:96-112`: whitespace chars (' ', '\\t', '\\n')
+    become ``[BLANK]``; chars the vocabulary can't tokenize become
+    ``[INV]``; everything else stays a single char, so
+    len(tokens) == len(raw_text) always holds (the property the reference
+    introduces this for — BERT's own tokenizer drops/merges chars and
+    shifts the labels).
+
+    ``is_known(ch) -> bool`` stands in for the reference's
+    ``len(tokenizer.tokenize(ch)) > 0`` check; None = every non-blank char
+    is known (this engine's hashed char vocab has no OOV).
+    """
+    tokens = []
+    for ch in raw_text:
+        if ch in (" ", "\t", "\n"):
+            tokens.append(BLANK_TOKEN)
+        elif is_known is not None and not is_known(ch):
+            tokens.append(INV_TOKEN)
+        else:
+            tokens.append(ch)
+    return tokens
 
 
 def encode_example(text: str, labels: list[tuple[str, str, int]],
@@ -45,7 +79,9 @@ def encode_example(text: str, labels: list[tuple[str, str, int]],
     ent2id = build_tag_vocab(cfg.types, cfg.scheme)
     L = cfg.max_seq_len
     body = L - 2
-    tokens = list(text)[:body]
+    tokens = (
+        fine_grade_tokenize(text) if cfg.fine_tokenize else list(text)
+    )[:body]
 
     label_ids = [0] * len(tokens)
     for etype, mention, start in labels:
@@ -63,14 +99,23 @@ def encode_example(text: str, labels: list[tuple[str, str, int]],
                 label_ids[k] = ent2id[f"I-{etype}"]
             label_ids[end] = ent2id[f"E-{etype}"]
 
-    token_ids = (
-        [CLS_ID]
-        + [
+    if cfg.fine_tokenize:
+        def _tid(tok: str) -> int:
+            if tok == BLANK_TOKEN:
+                return BLANK_ID
+            if tok == INV_TOKEN:
+                return INV_ID
+            return FINE_CHAR_OFFSET + (
+                ord(tok) % (cfg.vocab_size - FINE_CHAR_OFFSET)
+            )
+
+        body_ids = [_tid(t) for t in tokens]
+    else:
+        body_ids = [
             CHAR_OFFSET + (ord(c) % (cfg.vocab_size - CHAR_OFFSET))
             for c in tokens
         ]
-        + [SEP_ID]
-    )
+    token_ids = [CLS_ID] + body_ids + [SEP_ID]
     attention = [1] * len(token_ids)
     label_ids = [0] + label_ids + [0]  # CLS/SEP positions are O
     pad = L - len(token_ids)

@@ -104,18 +104,17 @@ def canonical_entities(entity_dict: DataFrame, max_iter: int = 25,
         )
         verts = entity_dict.select(F.col("entity_id").alias("id")).distinct()
         comp = connected_components(edges, verts, max_iter)
-    names = entity_dict.select("entity_id", "canonical_name").distinct()
+    # min canonical_name per id: deterministic (and identical to the
+    # recursive-CTE DuckDB twin) even if an entity_id ever carried two
+    # distinct canonical_name spellings in the dictionary
+    names = (
+        entity_dict.groupBy(F.col("entity_id").alias("canonical_id"))
+        .agg(F.min("canonical_name").alias("canon_name"))
+    )
     return (
         comp.withColumnRenamed("id", "entity_id")
         .withColumnRenamed("component", "canonical_id")
-        .join(
-            F.broadcast(
-                names.withColumnRenamed("entity_id", "canonical_id")
-                .withColumnRenamed("canonical_name", "canon_name")
-                .dropDuplicates(["canonical_id"])
-            ),
-            "canonical_id",
-        )
+        .join(F.broadcast(names), "canonical_id")
         .select("entity_id", "canonical_id", F.col("canon_name").alias("canonical_name"))
     )
 

@@ -130,7 +130,7 @@ SELECT doc_a, doc_b,
 FROM inter
 JOIN counts ca ON ca.doc_id = doc_a
 JOIN counts cb ON cb.doc_id = doc_b
-WHERE n_inter / (ca.n_sh + cb.n_sh - n_inter) >= {threshold}
+WHERE ROUND(n_inter / (ca.n_sh + cb.n_sh - n_inter), 6) >= {threshold}
 """
 
 
@@ -295,48 +295,91 @@ FROM votes GROUP BY doc_id
 # embedding-cosine near-duplicates
 
 
-def embedding_neardup_pairs(embeddings: DataFrame,
-                            threshold: float = 0.95) -> DataFrame:
-    """(vec_a, vec_b, cos_sim) for pairs above threshold; brute-force
-    self-join baseline (the LSH-bucketed scale path lives in
-    `operators/ann.py`).  Cosine via zip_with/aggregate — JVM-side."""
-    def with_norm(df, suffix):
-        return df.select(
-            F.col("vec_id").alias(f"vec_{suffix}"),
-            F.col("embedding").alias(f"emb_{suffix}"),
-            F.sqrt(
-                F.aggregate(
-                    "embedding",
-                    F.lit(0.0),
-                    lambda acc, x: acc + x.cast("double") * x.cast("double"),
-                )
-            ).alias(f"norm_{suffix}"),
-        )
+def _with_norm(df: DataFrame, suffix: str) -> DataFrame:
+    return df.select(
+        F.col("vec_id").alias(f"vec_{suffix}"),
+        F.col("embedding").alias(f"emb_{suffix}"),
+        F.sqrt(
+            F.aggregate(
+                "embedding",
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+        ).alias(f"norm_{suffix}"),
+    )
 
-    a = with_norm(embeddings, "a")
-    b = with_norm(embeddings, "b")
-    dot = F.aggregate(
-        F.zip_with("emb_a", "emb_b", lambda x, y: x.cast("double") * y.cast("double")),
+
+def _dot_ab():
+    # built lazily: Column construction needs an active SparkSession
+    return F.aggregate(
+        F.zip_with(
+            "emb_a", "emb_b", lambda x, y: x.cast("double") * y.cast("double")
+        ),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+
+
+def embedding_neardup_pairs(embeddings: DataFrame,
+                            threshold: float = 0.95,
+                            method: str = "lsh",
+                            n_planes: int = 3,
+                            n_tables: int = 16,
+                            seed: int = 7) -> DataFrame:
+    """(vec_a, vec_b, cos_sim) for pairs above threshold; vec_a < vec_b.
+
+    ``method="lsh"`` (default, the 100 TB shape): sign-LSH bucketing
+    (`operators/ann.py::lsh_buckets`) generates candidate pairs via an
+    equi-join on (table_id, bucket); candidates are re-verified with the
+    exact cosine before the threshold filter, so precision is always 1.0
+    and recall is the LSH collision probability — for a pair at cosine s,
+    1 - (1 - (1 - acos(s)/pi)^n_planes)^n_tables (0.997 at s = 0.5 with
+    the 3-plane/16-table defaults; tune n_planes up for higher thresholds
+    / bigger corpora, see BASELINE.md).  ``method="brute"`` is the exact
+    quadratic baseline kept as the pytest recall oracle — NOT the plan to
+    run at scale.
+    """
+    a = _with_norm(embeddings, "a")
+    b = _with_norm(embeddings, "b")
+    if method == "brute":
+        pairs = a.crossJoin(b).filter(F.col("vec_a") < F.col("vec_b"))
+    else:
+        from .ann import lsh_buckets
+
+        dim = len(embeddings.select("embedding").first()["embedding"])
+        buckets = lsh_buckets(embeddings, dim=dim, n_planes=n_planes,
+                              n_tables=n_tables, seed=seed)
+        cand = (
+            buckets.alias("x")
+            .join(buckets.alias("y"), ["table_id", "bucket"])
+            .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+            .select(
+                F.col("x.vec_id").alias("vec_a"),
+                F.col("y.vec_id").alias("vec_b"),
+            )
+            .distinct()
+        )
+        pairs = cand.join(a, "vec_a").join(b, "vec_b")
     return (
-        a.crossJoin(b)
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cos_sim", F.round(dot / (F.col("norm_a") * F.col("norm_b")), 4))
+        pairs.withColumn(
+            "cos_sim",
+            F.round(_dot_ab() / (F.col("norm_a") * F.col("norm_b")), 4),
+        )
         .filter(F.col("cos_sim") >= threshold)
         .select("vec_a", "vec_b", "cos_sim")
     )
 
 
 def embedding_neardup_sql(threshold: float = 0.95) -> str:
+    # filter on the ROUNDED similarity — the same quantity the Spark side
+    # filters — so boundary values land identically in both engines
     return f"""
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        ROUND(list_dot_product(a.embedding, b.embedding)
              / (sqrt(list_dot_product(a.embedding, a.embedding))
                 * sqrt(list_dot_product(b.embedding, b.embedding))), 4) AS cos_sim
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE list_dot_product(a.embedding, b.embedding)
+WHERE ROUND(list_dot_product(a.embedding, b.embedding)
       / (sqrt(list_dot_product(a.embedding, a.embedding))
-         * sqrt(list_dot_product(b.embedding, b.embedding))) >= {threshold}
+         * sqrt(list_dot_product(b.embedding, b.embedding))), 4) >= {threshold}
 """

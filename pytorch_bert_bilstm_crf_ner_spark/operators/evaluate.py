@@ -16,23 +16,31 @@ SPAN_KEY = ["conv_id", "turn_idx", "mention", "start", "type"]
 
 
 def span_metrics_by_type(pred: DataFrame, gold: DataFrame) -> DataFrame:
-    """-> (type, tp, fp, fn) — one row per entity type."""
-    tp = pred.join(gold, SPAN_KEY, "left_semi").groupBy("type").agg(
-        F.count(F.lit(1)).alias("tp")
-    )
-    fp = pred.join(gold, SPAN_KEY, "left_anti").groupBy("type").agg(
-        F.count(F.lit(1)).alias("fp")
-    )
-    fn = gold.join(pred, SPAN_KEY, "left_anti").groupBy("type").agg(
-        F.count(F.lit(1)).alias("fn")
-    )
-    types = (
-        pred.select("type").union(gold.select("type")).distinct()
-    )
+    """-> (type, tp, fp, fn) — one row per entity type.
+
+    One pass per input: pre-count each side by span key, one full-outer
+    join, one aggregation deriving tp/fp/fn from the pred/gold presence
+    flags.  (The naive semi/anti/anti/union shape re-evaluates each input
+    ~3x — at pipeline scale that tripled the mention-extraction cost.)
+    Multiplicity semantics match the reference's row-level counting: a
+    duplicated pred row that matches gold counts as multiple tp.
+    """
+    p = pred.groupBy(*SPAN_KEY).agg(F.count(F.lit(1)).alias("pred_n"))
+    g = gold.groupBy(*SPAN_KEY).agg(F.count(F.lit(1)).alias("gold_n"))
+    j = p.join(g, SPAN_KEY, "full_outer")
     return (
-        types.join(tp, "type", "left")
-        .join(fp, "type", "left")
-        .join(fn, "type", "left")
+        j.groupBy("type")
+        .agg(
+            F.sum(
+                F.when(F.col("gold_n").isNotNull(), F.col("pred_n")).otherwise(0)
+            ).alias("tp"),
+            F.sum(
+                F.when(F.col("gold_n").isNull(), F.col("pred_n")).otherwise(0)
+            ).alias("fp"),
+            F.sum(
+                F.when(F.col("pred_n").isNull(), F.col("gold_n")).otherwise(0)
+            ).alias("fn"),
+        )
         .na.fill(0, ["tp", "fp", "fn"])
     )
 

@@ -50,8 +50,13 @@ def build_features(mid: DataFrame, cfg: FeatureConfig | None = None) -> DataFram
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                labs = r["labels"]
+            # column .tolist() + zip, NOT pdf.iterrows(): the row-at-a-time
+            # pandas accessor costs ~5-10x on the hot Arrow path
+            for doc_id, text, labs in zip(
+                pdf["doc_id"].tolist(),
+                pdf["text"].tolist(),
+                pdf["labels"].tolist(),
+            ):
                 if labs is None:
                     labs = []
                 mid_labels = [
@@ -60,14 +65,14 @@ def build_features(mid: DataFrame, cfg: FeatureConfig | None = None) -> DataFram
                     for lab in labs
                 ]
                 for sent, labels, cut_idx, cut_start in examples_from_document(
-                    r["text"], mid_labels, cfg
+                    text, mid_labels, cfg
                 ):
                     if not sent:
                         continue
                     feat = encode_example(sent, labels, cfg)
                     rows.append(
                         {
-                            "doc_id": r["doc_id"],
+                            "doc_id": doc_id,
                             "cut_idx": cut_idx,
                             "cut_start": cut_start,
                             "text": sent,

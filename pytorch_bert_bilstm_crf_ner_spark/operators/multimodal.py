@@ -70,13 +70,20 @@ def synth_media(documents: DataFrame) -> DataFrame:
 
 
 def _fake_feature(payload: bytes, dim: int) -> list[float]:
-    """Deterministic stand-in for a decoded-media embedding: bytes of
-    repeated sha256, scaled to [-1, 1)."""
+    """Deterministic stand-in for a decoded-media embedding: md5 blocks of
+    the payload's hex string, bytes scaled to [-1, 1).  md5-over-VARCHAR is
+    the engine-portable hash of this repo (Spark == DuckDB), so the driver
+    oracle can recompute the features exactly; every value is a multiple of
+    1/128 — exact in binary floating point, no rounding needed anywhere."""
     out: list[float] = []
-    h = payload
+    hexs = payload.hex()
+    block = 0
     while len(out) < dim:
-        h = hashlib.sha256(h).digest()
-        out.extend(b / 128.0 - 1.0 for b in h)
+        h = hashlib.md5(f"{hexs}|{block}".encode()).hexdigest()
+        out.extend(
+            int(h[2 * i : 2 * i + 2], 16) / 128.0 - 1.0 for i in range(16)
+        )
+        block += 1
     return out[:dim]
 
 

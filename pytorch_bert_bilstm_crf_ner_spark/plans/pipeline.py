@@ -42,7 +42,12 @@ class PipelineConfig:
     broadcast_dict: bool = True
     repartition: int | None = None     # parallelism of the UDF stage
     output_dir: str | None = None      # None = fully lazy, no materialization
-    preagg_cooccurrence: bool = False  # compact-shuffle evidence counting
+    # pre-aggregated co-occurrence evidence counting (identical triples,
+    # equality-pinned by tests): the default, because the instance-pair
+    # join's shuffle grows with mention multiplicity squared per turn while
+    # the preagg shuffle is bounded by distinct (conv, turn, entity).
+    # False = the instance-level debug path.
+    preagg_cooccurrence: bool = True
 
 
 def _stage_done(out: str, stage: str) -> bool:

@@ -219,8 +219,17 @@ FROM m GROUP BY entity_id, canonical_name, type
 
 
 def q_adjacent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    m = _dict_mentions(spark, sf_dir).dropDuplicates(
-        ["conv_id", "turn_idx", "start"]
+    # deduplicate to min entity_id per span position — deterministic and
+    # identical to the SQL twin's ROW_NUMBER pick (dropDuplicates keeps an
+    # arbitrary row, which diverges once an alias is shared across types)
+    rn_w = Window.partitionBy("conv_id", "turn_idx", "start").orderBy(
+        "entity_id"
+    )
+    m = (
+        _dict_mentions(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(rn_w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
     )
     w = Window.partitionBy("conv_id", "turn_idx").orderBy("start")
     return (
@@ -328,22 +337,28 @@ GROUP BY a.conv_id, a.canonical_name, b.canonical_name
 
 
 def q_span_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.evaluate import span_metrics_by_type
-
-    all_m = _dict_mentions(spark, sf_dir).select(
-        "conv_id", "turn_idx", "mention", "start", "type"
-    ).distinct()
-    pred = (
+    """Span-exact eval where pred = the gold mention set restricted to
+    entity_id <= 10.  Because pred ⊆ gold by construction, tp/fp/fn reduce
+    to ONE scan of the mention set: per-span pred flag, then one per-type
+    aggregation (fp ≡ 0).  The general pred-vs-gold operator
+    (`operators/evaluate.py::span_metrics_by_type`, one full-outer pass) is
+    exercised by tests and `plans/eval_job.py`; this registered query keeps
+    the specialized single-scan plan — the round-1 shape re-evaluated the
+    mention extraction ~6x."""
+    spans = (
         _dict_mentions(spark, sf_dir)
-        .filter(F.col("entity_id") <= 10)
-        .select("conv_id", "turn_idx", "mention", "start", "type")
-        .distinct()
+        .groupBy("conv_id", "turn_idx", "mention", "start", "type")
+        .agg(
+            F.max((F.col("entity_id") <= 10).cast("int")).alias("pred_flag")
+        )
     )
-    return span_metrics_by_type(pred, all_m).select(
-        "type",
-        F.col("tp").cast("bigint").alias("tp"),
-        F.col("fp").cast("bigint").alias("fp"),
-        F.col("fn").cast("bigint").alias("fn"),
+    return (
+        spans.groupBy("type")
+        .agg(
+            F.sum("pred_flag").cast("bigint").alias("tp"),
+            F.sum(1 - F.col("pred_flag")).cast("bigint").alias("fn"),
+        )
+        .select("type", "tp", F.lit(0).cast("bigint").alias("fp"), "fn")
     )
 
 
@@ -569,14 +584,37 @@ def _mid_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_training_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E1 ETL: mid-shaped turns -> fixed-length training feature arrays."""
+    """E1 ETL: mid-shaped turns -> fixed-length training feature arrays.
+
+    The registered projection replaces each fixed-length id array with a
+    stable scalar (``md5(to_json(...))``) so the driver's row canonicalizer
+    (a pandas all-column sort) never sees an unhashable list; the raw-array
+    table is what `operators/features.py::build_features` returns and what
+    the pytest parity suite checks value-by-value.  No SQL twin: the cut
+    FSM (`core/cut.py`) is Python by reference semantics — rows-only."""
     from ..operators.features import build_features
 
-    return build_features(_mid_from_documents(spark, sf_dir))
+    feats = build_features(_mid_from_documents(spark, sf_dir))
+    return feats.select(
+        "doc_id",
+        "cut_idx",
+        "cut_start",
+        "text",
+        F.aggregate(
+            "attention_mask", F.lit(0), lambda a, x: a + x.cast("int")
+        ).alias("n_real_tokens"),
+        F.md5(F.to_json("token_ids")).alias("token_ids_md5"),
+        F.md5(F.to_json("attention_mask")).alias("attention_mask_md5"),
+        F.md5(F.to_json("token_type_ids")).alias("token_type_ids_md5"),
+        F.md5(F.to_json("label_ids")).alias("label_ids_md5"),
+    )
 
 
 def q_augmented_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P8+P9: template mask + deterministic entity substitution."""
+    """P8+P9: template mask + deterministic entity substitution.  Labels
+    (array<struct>) are projected to ``md5(to_json(...))`` + a count for
+    the driver's scalar-only canonicalizer; rows-only (xxhash64 sampling
+    has no DuckDB analog) — exact values pinned by pytest."""
     from ..operators.augment import (
         build_entity_inventory,
         synthesize_from_templates,
@@ -585,14 +623,83 @@ def q_augmented_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     mid = _mid_from_documents(spark, sf_dir)
     inv = build_entity_inventory(mid)
-    return synthesize_from_templates(template_mask(mid), inv, repeat=1)
+    synth = synthesize_from_templates(template_mask(mid), inv, repeat=1)
+    return synth.select(
+        "doc_id",
+        "text",
+        F.size("labels").alias("n_labels"),
+        F.md5(F.to_json("labels")).alias("labels_md5"),
+    )
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode plumbing, driver-checkable form: the Arrow
+    ``mapInPandas`` decode runs for real (fake/deterministic feature — see
+    `operators/multimodal.py`), then the feature vector is projected to
+    exact scalars.  Every feature value is a multiple of 1/128 (exact in
+    binary floating point), so sum/first compare bit-exactly against the
+    DuckDB twin with no rounding."""
     from ..operators.multimodal import decode_media, synth_media
 
     media = synth_media(spark.read.parquet(f"{sf_dir}/documents.parquet"))
-    return decode_media(media, dim=16, fake=True)
+    feats = decode_media(media, dim=16, fake=True)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.size("feature").alias("feature_dim"),
+        F.aggregate(
+            "feature", F.lit(0.0), lambda a, x: a + x.cast("double")
+        ).alias("feature_sum"),
+        F.element_at("feature", 1).cast("double").alias("feature_first"),
+    )
+
+
+Q_MEDIA_FEATURES_SQL = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
+         md5(md5(text) || '|0') AS fh
+  FROM documents
+),
+b AS (
+  SELECT media_id, kind, fh, CAST(unnest(range(16)) AS INT) AS i FROM m
+),
+v AS (
+  SELECT media_id, kind, i,
+         ((strpos('0123456789abcdef', substr(fh, 2*i+1, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substr(fh, 2*i+2, 1)) - 1)) / 128.0
+         - 1.0 AS val
+  FROM b
+)
+SELECT media_id, kind,
+       CAST(16 AS INT) AS n_bytes,
+       CAST(16 AS INT) AS feature_dim,
+       SUM(val) AS feature_sum,
+       MIN(CASE WHEN i = 0 THEN val END) AS feature_first
+FROM v GROUP BY media_id, kind
+"""
+
+
+Q_CANONICAL_ENTITIES_SQL = f"""
+WITH RECURSIVE
+base AS (SELECT * FROM {_DICT_SQL}),
+edges AS (
+  SELECT a.entity_id AS src, b.entity_id AS dst
+  FROM base a JOIN base b ON a.alias = b.alias AND a.type = b.type
+  WHERE a.entity_id <> b.entity_id
+),
+reach(id, r) AS (
+  SELECT DISTINCT entity_id, entity_id FROM base
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r
+),
+comp AS (SELECT id AS entity_id, MIN(r) AS canonical_id FROM reach GROUP BY id)
+SELECT c.entity_id, c.canonical_id,
+       (SELECT MIN(canonical_name) FROM base b
+        WHERE b.entity_id = c.canonical_id) AS canonical_name
+FROM comp c
+"""
 
 
 SPARK_QUERIES = {
@@ -635,10 +742,12 @@ ORACLE_SQL = {
     "span_eval": Q_SPAN_EVAL_SQL,
     "events_running_value": Q_EVENTS_RUNNING_SQL,
     "events_sessionized": Q_EVENTS_SESSION_SQL,
-    # kg_mentions / kg_triples / canonical_entities: no ANSI-SQL equivalent
-    # (Arrow-batched CRF UDF, iterative connected components) — rows-only.
-    # lsh_ann_topk (seeded hyperplanes) and media_features (binary decode
-    # stub) are likewise rows-only, with pytest coverage instead.
+    "canonical_entities": Q_CANONICAL_ENTITIES_SQL,
+    "media_features": Q_MEDIA_FEATURES_SQL,
+    # kg_mentions / kg_triples: no ANSI-SQL equivalent (Arrow-batched CRF
+    # tagging UDF) — rows-only.  lsh_ann_topk (seeded numpy hyperplanes),
+    # training_features (Python cut FSM) and augmented_corpus (xxhash64
+    # sampling) are likewise rows-only, with pytest value coverage instead.
 }
 
 

@@ -52,24 +52,34 @@ MID_SCHEMA = StructType(
 
 
 def read_bmes(spark: SparkSession, path: str) -> DataFrame:
-    """S1: BMES char files -> mid_data-shaped DataFrame.  doc_id is the
-    sentence index within its file (file order preserved)."""
+    """S1: BMES char files -> mid_data-shaped DataFrame.  doc_id =
+    (42-bit md5 of the file name) << 20 | sentence index within the file —
+    unique across a multi-file directory scan (a bare per-file index
+    collides), still monotone in file order within each file."""
     raw = spark.read.text(path, wholetext=True).withColumn(
         "file", F.input_file_name()
     )
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
         from ..core.bmes import parse_bmes_lines
 
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
+            for value, fname in zip(
+                pdf["value"].tolist(), pdf["file"].tolist()
+            ):
+                fhash = (
+                    int(hashlib.md5(fname.encode()).hexdigest()[:11], 16)
+                    & ((1 << 42) - 1)
+                ) << 20
                 for i, (text, labels) in enumerate(
-                    parse_bmes_lines(r["value"].splitlines())
+                    parse_bmes_lines(value.splitlines())
                 ):
                     rows.append(
                         {
-                            "doc_id": i,
+                            "doc_id": fhash | i,
                             "text": text,
                             "labels": [
                                 {

@@ -4,15 +4,21 @@ batch.  This covers the S8 analog: continuous transcript arrival).
 
 A file-source stream over the transcripts directory feeds the SAME
 Arrow-batched tagging operator via ``foreachBatch``; the checkpoint
-location gives exactly-once file processing, so re-running after a kill
-only tags files that arrived since — the streaming twin of the batch
-pipeline's lineage resume.  ``Trigger.AvailableNow`` drains the backlog
-then stops (incremental batch), a plain start() would run continuously.
+location tracks which source files each batch consumed, so re-running
+after a kill only tags files that arrived since — the streaming twin of
+the batch pipeline's lineage resume.  foreachBatch itself is
+at-least-once: a crash between the sink write and the checkpoint commit
+replays the batch.  The sink is therefore made IDEMPOTENT by writing each
+batch to its own ``batch_id=N/`` directory with overwrite — a replayed
+batch overwrites its own output instead of double-appending, yielding
+effectively-exactly-once end-to-end.  ``Trigger.AvailableNow`` drains the
+backlog then stops (incremental batch); a plain start() runs continuously.
 """
 
 from __future__ import annotations
 
-import pyspark.sql.functions as F
+import os
+
 from pyspark.sql import SparkSession
 from pyspark.sql.types import (
     IntegerType,
@@ -53,11 +59,13 @@ def stream_mentions(
     )
 
     def process_batch(batch_df, batch_id: int) -> None:
+        # idempotent sink: overwrite THIS batch's partition directory, so an
+        # at-least-once foreachBatch replay cannot double-append.  The
+        # batch_id=N layout doubles as a Hive partition column on read.
         (
             extract_mentions(batch_df, cfg)
-            .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
-            .parquet(output_dir)
+            .write.mode("overwrite")
+            .parquet(os.path.join(output_dir, f"batch_id={batch_id}"))
         )
 
     writer = (

@@ -15,7 +15,14 @@ REFERENCE = "/root/reference"
 def load_reference_module(relpath: str):
     """Exec a reference source file with torch stubbed out, for use as a
     live parity oracle in tests.  Read-only; returns a namespace dict or
-    None when the reference tree is unavailable."""
+    None when the reference tree is unavailable.
+
+    Trust note: /root/reference is untrusted public content and whole-file
+    exec runs its top-level code with test privileges — an intentional
+    trade for live bit-exact parity, confined to the test process.  Prefer
+    :func:`extract_function` (AST-scoped to one named function) for new
+    parity tests; use this only when the oracle needs module-level state.
+    """
     path = os.path.join(REFERENCE, relpath)
     if not os.path.exists(path):
         return None

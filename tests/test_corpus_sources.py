@@ -167,3 +167,20 @@ def test_gdcq_to_mid_matches_reference(spark):
             (lab["span_id"], lab["type"], lab["start"], lab["end"], lab["mention"])
             for lab in r["labels"]
         ] == [tuple(x) for x in doc["labels"]]
+
+
+def test_read_bmes_multifile_doc_ids_unique(spark, tmp_path):
+    """Directory scans must not collide doc_ids across files (round-1 bug:
+    doc_id was the per-file sentence index)."""
+    from pytorch_bert_bilstm_crf_ner_spark.sources.corpus import read_bmes
+
+    body = "高 B-NAME\n勇 E-NAME\n： O\n\n男 O\n， O\n\n"
+    (tmp_path / "a.char.bmes").write_text(body, encoding="utf-8")
+    (tmp_path / "b.char.bmes").write_text(body, encoding="utf-8")
+    df = read_bmes(spark, str(tmp_path))
+    rows = df.collect()
+    assert len(rows) == 4  # 2 sentences x 2 files
+    assert len({r["doc_id"] for r in rows}) == 4
+    # within-file ordering is preserved by the low bits
+    per_file = sorted(r["doc_id"] for r in rows)
+    assert (per_file[1] - per_file[0], per_file[3] - per_file[2]) == (1, 1)

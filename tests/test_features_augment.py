@@ -111,3 +111,61 @@ def test_tagger_bio_and_argmax_modes():
     for text, spans in zip(texts, argmax):
         for m, s, _ in spans:
             assert text[s : s + len(m)] == m
+
+
+def test_fine_grade_tokenize_matches_reference():
+    """P5 parity: our fine_grade_tokenize == the reference's
+    utils/commonUtils.py function, exec'd live with a stub tokenizer."""
+    from pytorch_bert_bilstm_crf_ner_spark.core.features import (
+        fine_grade_tokenize,
+    )
+
+    from .conftest import extract_function
+
+    ref_fn = extract_function("utils/commonUtils.py", "fine_grade_tokenize")
+    if ref_fn is None:
+        import pytest
+
+        pytest.skip("reference tree unavailable")
+
+    known = set("高勇男abc123，。")
+
+    class StubTokenizer:
+        def tokenize(self, ch):
+            return [ch] if ch in known else []
+
+    cases = [
+        "高勇：男 abc\t123\n，。",
+        "   ",
+        "高×勇",  # × unknown -> [INV]
+        "",
+        "a b\tc\nd",
+    ]
+    for text in cases:
+        assert fine_grade_tokenize(text, lambda c: c in known) == ref_fn(
+            text, StubTokenizer()
+        ), text
+
+
+def test_encode_example_fine_tokenize_mode():
+    from pytorch_bert_bilstm_crf_ner_spark.core.features import (
+        BLANK_ID,
+        INV_ID,
+        FeatureConfig,
+        encode_example,
+        fine_grade_tokenize,
+    )
+
+    text = "高勇 男"
+    toks = fine_grade_tokenize(text)
+    assert toks == ["高", "勇", "[BLANK]", "男"]
+    cfg = FeatureConfig(max_seq_len=16, fine_tokenize=True)
+    feat = encode_example(text, [("NAME", "高勇", 0)], cfg)
+    assert len(feat["token_ids"]) == 16
+    assert feat["token_ids"][3] == BLANK_ID  # CLS shift: position 2 -> idx 3
+    # label alignment unaffected by [BLANK]: B at 1, E at 2 (+CLS)
+    assert feat["label_ids"][1] != 0 and feat["label_ids"][2] != 0
+    # [INV] path
+    cfg2 = FeatureConfig(max_seq_len=8, fine_tokenize=True)
+    f2 = encode_example("a", [], cfg2)
+    assert INV_ID not in f2["token_ids"]  # default is_known=None: no OOV

@@ -91,3 +91,37 @@ def test_jaccard_shingle_frequency_cap(spark):
     }
     assert exact, "expected planted near-dup pairs in sf0.01"
     assert capped == exact  # near-dup overlap here is rare shingles
+
+
+def test_embedding_neardup_lsh_route_vs_brute(spark):
+    """The registered near-dup plan is the LSH route; the brute-force
+    crossJoin is the oracle.  Precision is structurally 1.0 (candidates are
+    re-verified with the exact cosine); on the driver's sf0.01 data the
+    default 3-plane/16-table parameters achieve recall 1.0 at threshold
+    0.5 — asserted here so a parameter/seed change that breaks the driver's
+    hash check fails fast in pytest instead."""
+    from pytorch_bert_bilstm_crf_ner_spark.operators.dedup import (
+        embedding_neardup_pairs,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    brute = {
+        (r["vec_a"], r["vec_b"], r["cos_sim"])
+        for r in embedding_neardup_pairs(emb, 0.5, method="brute").collect()
+    }
+    lsh = {
+        (r["vec_a"], r["vec_b"], r["cos_sim"])
+        for r in embedding_neardup_pairs(emb, 0.5).collect()
+    }
+    assert lsh == brute and len(brute) == 1
+    # at a looser threshold the LSH result must stay a subset (precision 1)
+    brute45 = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_neardup_pairs(emb, 0.45, method="brute").collect()
+    }
+    lsh45 = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_neardup_pairs(emb, 0.45).collect()
+    }
+    assert lsh45 <= brute45
+    assert len(lsh45) / len(brute45) >= 0.8, "recall collapsed"
