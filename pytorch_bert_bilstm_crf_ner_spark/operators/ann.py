@@ -158,3 +158,207 @@ def lsh_cosine_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
             "rank",
         )
     )
+
+
+# --------------------------------------------------------------------- #
+# IVF (inverted-file) ANN: k-means coarse quantizer -> per-centroid
+# buckets -> nprobe-bucket candidate search with exact re-rank.
+
+def kmeans_centroids(embeddings: DataFrame, k: int = 16, max_iter: int = 5,
+                     seed: int = 7) -> list[list[float]]:
+    """Lloyd's k-means over the embedding column with pure DataFrame ops.
+
+    The per-iteration state (k x dim centroids) is driver-sized by
+    definition, so each round collects it and re-broadcasts it as a
+    literal table — the classic Spark k-means shape: assignment is a
+    broadcast join + min_by, the update is one posexplode + hash
+    aggregation.  Deterministic: init picks the k lowest xxhash64(vec_id)
+    rows (a seeded pseudo-random sample stable at any partitioning).
+    """
+    init = (
+        embeddings.select(
+            "vec_id", "embedding", F.xxhash64("vec_id", F.lit(seed)).alias("h")
+        )
+        .orderBy("h")
+        .limit(k)
+        .collect()
+    )
+    centroids = [[float(x) for x in r["embedding"]] for r in init]
+    spark = embeddings.sparkSession
+    for _ in range(max_iter):
+        cdf = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(centroids)],
+            "centroid_id INT, centroid ARRAY<DOUBLE>",
+        )
+        assigned = _assign_to_centroid(embeddings, cdf)
+        new_rows = (
+            assigned.select(
+                "centroid_id", F.posexplode("embedding").alias("pos", "val")
+            )
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("val").alias("val"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "val"))),
+                    lambda s: s["val"],
+                ).alias("centroid")
+            )
+            .collect()
+        )
+        by_id = {r["centroid_id"]: [float(x) for x in r["centroid"]] for r in new_rows}
+        # empty clusters keep their previous centroid
+        centroids = [by_id.get(i, c) for i, c in enumerate(centroids)]
+    return centroids
+
+
+def _assign_to_centroid(embeddings: DataFrame, centroids_df: DataFrame) -> DataFrame:
+    """(vec_id, embedding, centroid_id): nearest centroid by dot product
+    over L2-normalized vectors == cosine assignment."""
+    scored = (
+        embeddings.select("vec_id", "embedding")
+        .join(F.broadcast(centroids_df))
+        .withColumn(
+            "score",
+            _dot("embedding", "centroid")
+            / (F.sqrt(_dot("embedding", "embedding"))
+               * F.sqrt(_dot("centroid", "centroid"))),
+        )
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(
+            F.max_by("centroid_id", F.struct("score", (-F.col("centroid_id")).alias("tie"))).alias("centroid_id"),
+            F.first("embedding").alias("embedding"),
+        )
+    )
+
+
+def ivf_cosine_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
+                    n_centroids: int = 8, nprobe: int = 3,
+                    max_iter: int = 3, seed: int = 7) -> DataFrame:
+    """IVF ANN: bucket every vector by its nearest k-means centroid; for
+    each query, search only the ``nprobe`` nearest buckets, exact cosine
+    re-rank inside.  The 100 TB shape: the bucket assignment is one
+    broadcast join (centroids are driver-sized), the candidate join is an
+    equi-join on centroid_id — no quadratic stage anywhere.  Recall is
+    tuned by (n_centroids, nprobe); pytest pins it against the brute-force
+    cosine_topk.  No SQL twin (iterative k-means) — rows-only."""
+    spark = embeddings.sparkSession
+    centroids = kmeans_centroids(embeddings, n_centroids, max_iter, seed)
+    cdf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)],
+        "centroid_id INT, centroid ARRAY<DOUBLE>",
+    )
+    assigned = _assign_to_centroid(embeddings, cdf)
+
+    # nprobe nearest centroids per query vector
+    queries = embeddings.filter(F.col("vec_id") < n_queries)
+    q_scored = (
+        queries.select("vec_id", "embedding")
+        .join(F.broadcast(cdf))
+        .withColumn(
+            "score",
+            _dot("embedding", "centroid")
+            / (F.sqrt(_dot("embedding", "embedding"))
+               * F.sqrt(_dot("centroid", "centroid"))),
+        )
+    )
+    wq = Window.partitionBy("vec_id").orderBy(
+        F.col("score").desc(), F.col("centroid_id").asc()
+    )
+    q_buckets = (
+        q_scored.withColumn("r", F.row_number().over(wq))
+        .filter(F.col("r") <= nprobe)
+        .select(F.col("vec_id").alias("q_id"), "centroid_id")
+    )
+
+    cand = (
+        q_buckets.join(assigned.select("vec_id", "centroid_id"), "centroid_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("c_id"))
+        .distinct()
+    )
+    q = _with_norm(embeddings, "q").withColumnRenamed("q_id", "qq_id")
+    c = _with_norm(embeddings, "c").withColumnRenamed("c_id", "cc_id")
+    scored = (
+        cand.join(q, cand.q_id == q.qq_id)
+        .join(c, cand.c_id == c.cc_id)
+        .withColumn(
+            "cos_sim",
+            F.round(_dot("q_emb", "c_emb") / (F.col("q_norm") * F.col("c_norm")), 4),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("c_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            "cos_sim",
+            "rank",
+        )
+    )
+
+
+def lsh_cosine_topk_sql(n_queries: int = 10, k: int = 5, dim: int = 64,
+                        n_planes: int = 8, n_tables: int = 4,
+                        seed: int = 7) -> str:
+    """DuckDB twin of :func:`lsh_cosine_topk`: the seeded hyperplanes are
+    generated HERE with the same numpy call and inlined as literal arrays,
+    so both engines hash identical planes.  Sign bits compare a double
+    dot product against 0 on both sides; the re-rank cosine is rounded to
+    4 before ordering/filtering exactly like the Spark column."""
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(n_tables, n_planes, dim)).astype(float)
+    rows = ",\n    ".join(
+        f"({t}, {p}, [{', '.join(repr(float(x)) for x in planes[t, p])}])"
+        for t in range(n_tables)
+        for p in range(n_planes)
+    )
+    return f"""
+WITH planes(table_id, plane_id, plane) AS (VALUES
+    {rows}
+),
+sb AS (
+  SELECT e.vec_id, p.table_id, p.plane_id,
+         CASE WHEN list_dot_product(e.embedding, p.plane) > 0
+              THEN 1 ELSE 0 END AS bit
+  FROM embeddings e CROSS JOIN planes p
+),
+buckets AS (
+  SELECT vec_id, table_id,
+         md5(string_agg(CAST(bit AS VARCHAR), '' ORDER BY plane_id))
+           AS bucket
+  FROM sb GROUP BY vec_id, table_id
+),
+qb AS (
+  SELECT vec_id AS q_id, table_id, bucket FROM buckets
+  WHERE vec_id < {n_queries}
+),
+cand AS (
+  SELECT DISTINCT qb.q_id, b.vec_id AS c_id
+  FROM buckets b JOIN qb ON qb.table_id = b.table_id
+                        AND qb.bucket = b.bucket
+  WHERE b.vec_id <> qb.q_id
+),
+scored AS (
+  SELECT cand.q_id AS query_id, cand.c_id AS neighbor_id,
+         ROUND(list_dot_product(q.embedding, c.embedding)
+               / (sqrt(list_dot_product(q.embedding, q.embedding))
+                  * sqrt(list_dot_product(c.embedding, c.embedding))), 4)
+           AS cos_sim
+  FROM cand
+  JOIN embeddings q ON q.vec_id = cand.q_id
+  JOIN embeddings c ON c.vec_id = cand.c_id
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id)
+             AS rank
+      FROM scored)
+WHERE rank <= {k}
+"""

@@ -14,8 +14,9 @@
 Documented deviation: the reference samples slot fillers WITHOUT
 replacement from a mutable pool (`aug.py:99-103`), which is inherently
 sequential.  The distributed version picks deterministically by hash
-(xxhash64 of doc/repeat/slot + seed) — parallel-safe, reproducible at any
-partitioning, same diversity intent.
+(md5 of doc/repeat/slot + seed — md5, not xxhash64, so the DuckDB
+correctness twin can reproduce the picks) — parallel-safe, reproducible
+at any partitioning, same diversity intent.
 """
 
 from __future__ import annotations
@@ -80,7 +81,20 @@ def synthesize_from_templates(
                 "mentions",
                 (
                     F.pmod(
-                        F.xxhash64("doc_id", "rep", "piece_idx", F.lit(seed)),
+                        # first 12 md5 hex chars as a bigint: the
+                        # engine-portable deterministic "random" pick
+                        F.conv(
+                            F.substring(
+                                F.md5(
+                                    F.concat_ws(
+                                        "|", "doc_id", "rep", "piece_idx",
+                                        F.lit(seed),
+                                    )
+                                ),
+                                1, 12,
+                            ),
+                            16, 10,
+                        ).cast("bigint"),
                         F.size("mentions"),
                     )
                     + 1
@@ -133,8 +147,16 @@ def synthesize_from_templates(
             ).alias("labels"),
         )
     )
+    # synthetic doc_id = 60-bit md5 of (source doc, repeat): unique w.h.p.,
+    # deterministic, overflow-safe for hash-derived source ids, and
+    # md5-portable so the DuckDB twin reproduces it
     return grouped.select(
-        F.xxhash64("doc_id", "rep").alias("doc_id"), "text", "labels"
+        F.conv(
+            F.substring(F.md5(F.concat_ws("|", "doc_id", "rep")), 1, 15),
+            16, 10,
+        ).cast("bigint").alias("doc_id"),
+        "text",
+        "labels",
     )
 
 

@@ -383,3 +383,50 @@ WHERE ROUND(list_dot_product(a.embedding, b.embedding)
       / (sqrt(list_dot_product(a.embedding, a.embedding))
          * sqrt(list_dot_product(b.embedding, b.embedding))), 4) >= {threshold}
 """
+
+
+# ------------------------------------------------------------------ #
+# near-duplicate clusters: connected components over the near-dup pair
+# graph -> one canonical cluster id per involved document/vector (the
+# "keep one per cluster" step of a dedup pipeline).
+
+
+def neardup_clusters(embeddings: DataFrame, threshold: float = 0.95,
+                     method: str = "lsh") -> DataFrame:
+    """(vec_id, cluster_id): cluster_id = min vec_id reachable through
+    above-threshold near-dup pairs.  Only vectors appearing in at least
+    one pair are emitted (singletons are their own trivial cluster).
+    Pairs come from :func:`embedding_neardup_pairs` (LSH route by
+    default); components via the same iterative min-label propagation as
+    entity canonicalization."""
+    from .canonicalize import connected_components
+
+    pairs = embedding_neardup_pairs(embeddings, threshold, method=method)
+    edges = pairs.select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+    )
+    comp = connected_components(edges)
+    return comp.select(
+        F.col("id").alias("vec_id"), F.col("component").alias("cluster_id")
+    )
+
+
+def neardup_clusters_sql(threshold: float = 0.95) -> str:
+    """Recursive-CTE twin: min-label propagation over the brute-force
+    pair list (LSH recall at the registered threshold is pinned to 1.0 on
+    the oracle data by pytest, so the twins agree)."""
+    return f"""
+WITH RECURSIVE pairs AS ({embedding_neardup_sql(threshold)}),
+edges AS (
+  SELECT vec_a AS src, vec_b AS dst FROM pairs
+  UNION
+  SELECT vec_b AS src, vec_a AS dst FROM pairs
+),
+verts AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r
+)
+SELECT id AS vec_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+"""

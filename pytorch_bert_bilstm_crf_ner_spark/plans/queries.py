@@ -548,6 +548,26 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_cosine_topk(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN scale path: k-means coarse quantizer + nprobe bucket probe,
+    exact re-rank.  Rows-only (iterative k-means has no ANSI-SQL twin);
+    recall vs the brute-force cosine_topk is pinned by pytest."""
+    from ..operators.ann import ivf_cosine_topk
+
+    return ivf_cosine_topk(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+
+
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over embedding near-dup pairs (the keep-one-
+    per-cluster dedup step); twin = recursive min-label CTE over the
+    brute-force pair list."""
+    from ..operators.dedup import neardup_clusters
+
+    return neardup_clusters(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), threshold=0.5
+    )
+
+
 def _mid_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mid_data-shaped table derived from documents + the word tagger
     (labels = dictionary mentions with exclusive ends)."""
@@ -612,9 +632,9 @@ def q_training_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_augmented_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P8+P9: template mask + deterministic entity substitution.  Labels
-    (array<struct>) are projected to ``md5(to_json(...))`` + a count for
-    the driver's scalar-only canonicalizer; rows-only (xxhash64 sampling
-    has no DuckDB analog) — exact values pinned by pytest."""
+    (array<struct>) are projected to a canonical string hashed with md5
+    (the driver's canonicalizer needs scalars); the substitution hash is
+    md5-based, so the whole synthesis has an exact DuckDB twin."""
     from ..operators.augment import (
         build_entity_inventory,
         synthesize_from_templates,
@@ -624,11 +644,25 @@ def q_augmented_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     mid = _mid_from_documents(spark, sf_dir)
     inv = build_entity_inventory(mid)
     synth = synthesize_from_templates(template_mask(mid), inv, repeat=1)
+    labels_str = F.array_join(
+        F.transform(
+            "labels",
+            lambda l: F.concat_ws(
+                ",",
+                l["span_id"],
+                l["type"],
+                l["start"].cast("string"),
+                l["end"].cast("string"),
+                l["mention"],
+            ),
+        ),
+        ";",
+    )
     return synth.select(
         "doc_id",
         "text",
         F.size("labels").alias("n_labels"),
-        F.md5(F.to_json("labels")).alias("labels_md5"),
+        F.md5(labels_str).alias("labels_md5"),
     )
 
 
@@ -681,6 +715,179 @@ FROM v GROUP BY media_id, kind
 """
 
 
+def _training_features_sql(max_seq_len: int = 128, vocab_size: int = 4099) -> str:
+    """DuckDB twin of q_training_features, valid when every turn is at
+    most ``max_seq_len - 2`` chars (then `core/cut.py::cut_sent_for_bert`
+    is the identity and the whole feature encode is expressible in SQL:
+    char ids = 3 + unicode(ch) % (vocab-3); BIOES label ids from the
+    per-position LAST-label-wins overwrite — the Python loop writes labels
+    in (start, mention, type) order, so per char the max such key wins).
+    The driver's transcripts derivation caps turns at ~81 chars, asserted
+    by the max-length CASE below erroring the twin if the assumption ever
+    breaks (better a loud driver ERR than a silent mismatch)."""
+    from ..core.features import CHAR_OFFSET
+    from ..core.tags import CNER_TYPES, build_tag_vocab
+
+    ent2id = build_tag_vocab(CNER_TYPES, "BIOES")
+    tag_vals = ", ".join(
+        f"('{tag}', {i})" for tag, i in ent2id.items() if tag != "O"
+    )
+    body = max_seq_len - 2
+    mod = vocab_size - CHAR_OFFSET
+    return f"""
+WITH m AS ({_DICT_MENTIONS_SQL}),
+tr AS ({_TR}),
+mid AS (
+  SELECT CAST(substring(conv_id, 6) AS BIGINT) * 10000 + turn_idx AS doc_id,
+         -- guard: the identity-cut assumption (turn <= {body} chars)
+         CASE WHEN len(text) > {body}
+              THEN error('training_features twin: turn exceeds cut size')
+              ELSE text END AS text
+  FROM tr
+),
+labels AS (
+  SELECT CAST(substring(conv_id, 6) AS BIGINT) * 10000 + turn_idx AS doc_id,
+         start, mention, type
+  FROM m
+),
+lab_pos AS (
+  SELECT doc_id, start + CAST(u AS INT) AS k, start, mention, type,
+         CASE WHEN len(mention) = 1 THEN 'S'
+              WHEN u = 0 THEN 'B'
+              WHEN u = len(mention) - 1 THEN 'E'
+              ELSE 'I' END AS pos_tag
+  FROM (SELECT doc_id, start, mention, type,
+               unnest(range(len(mention))) AS u
+        FROM labels)
+),
+best AS (
+  SELECT doc_id, k, pos_tag || '-' || type AS tag
+  FROM (SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY doc_id, k
+          ORDER BY start DESC, mention DESC, type DESC) AS rn
+        FROM lab_pos)
+  WHERE rn = 1
+),
+tagmap(tag, tid) AS (VALUES {tag_vals}),
+pos AS (
+  SELECT doc_id, text, CAST(unnest(range({max_seq_len})) AS INT) AS p
+  FROM mid
+),
+cells AS (
+  SELECT pos.doc_id, pos.p,
+         CASE WHEN pos.p = 0 THEN 1
+              WHEN pos.p <= len(pos.text) THEN
+                   {CHAR_OFFSET} + (unicode(substr(pos.text, pos.p, 1)) % {mod})
+              WHEN pos.p = len(pos.text) + 1 THEN 2
+              ELSE 0 END AS token_id,
+         CASE WHEN pos.p <= len(pos.text) + 1 THEN 1 ELSE 0 END AS att,
+         CASE WHEN pos.p >= 1 AND pos.p <= len(pos.text)
+              THEN COALESCE(tm.tid, 0) ELSE 0 END AS lab
+  FROM pos
+  LEFT JOIN best ON best.doc_id = pos.doc_id AND best.k = pos.p - 1
+  LEFT JOIN tagmap tm ON tm.tag = best.tag
+),
+arrs AS (
+  SELECT doc_id,
+         md5('[' || string_agg(CAST(token_id AS VARCHAR), ',' ORDER BY p) || ']') AS token_ids_md5,
+         md5('[' || string_agg(CAST(att AS VARCHAR), ',' ORDER BY p) || ']') AS attention_mask_md5,
+         md5('[' || string_agg('0', ',' ORDER BY p) || ']') AS token_type_ids_md5,
+         md5('[' || string_agg(CAST(lab AS VARCHAR), ',' ORDER BY p) || ']') AS label_ids_md5
+  FROM cells GROUP BY doc_id
+)
+SELECT mid.doc_id,
+       CAST(0 AS INT) AS cut_idx,
+       CAST(0 AS INT) AS cut_start,
+       mid.text,
+       CAST(len(mid.text) + 2 AS INT) AS n_real_tokens,
+       arrs.token_ids_md5, arrs.attention_mask_md5,
+       arrs.token_type_ids_md5, arrs.label_ids_md5
+FROM mid JOIN arrs ON arrs.doc_id = mid.doc_id
+"""
+
+
+def _augmented_corpus_sql(repeat: int = 1, seed: int = 1234) -> str:
+    """DuckDB twin of q_augmented_corpus: the whole P8+P9 synthesis —
+    sequential all-occurrence mention masking (list_reduce with the text
+    prepended as the fold seed), '#;#' piece split with positional
+    indices (the zip-unnest trick), inventory refill picked by the same
+    12-hex-char md5 value as the Spark side, window offsets, canonical
+    label string."""
+    return f"""
+WITH m AS ({_DICT_MENTIONS_SQL}),
+tr AS ({_TR}),
+mid AS (
+  SELECT CAST(substring(conv_id, 6) AS BIGINT) * 10000 + turn_idx AS doc_id,
+         text, conv_id, turn_idx
+  FROM tr
+),
+midlab AS (
+  SELECT CAST(substring(conv_id, 6) AS BIGINT) * 10000 + turn_idx AS doc_id,
+         list(mention || chr(1) || type ORDER BY start, mention, type) AS labs
+  FROM m GROUP BY 1
+),
+tmpl AS (
+  SELECT mid.doc_id,
+         list_reduce(
+           [mid.text] || COALESCE(midlab.labs, []),
+           (acc, x) -> replace(acc, split_part(x, chr(1), 1),
+                               '#;#' || split_part(x, chr(1), 2) || '#;#')
+         ) AS template
+  FROM mid LEFT JOIN midlab ON midlab.doc_id = mid.doc_id
+),
+reps AS (
+  SELECT doc_id, template, CAST(unnest(range({repeat})) AS INT) AS rep
+  FROM tmpl
+),
+pieces AS (
+  SELECT doc_id, rep, piece_idx, piece FROM (
+    SELECT doc_id, rep,
+           CAST(unnest(range(len(string_split(template, '#;#')))) AS INT)
+             AS piece_idx,
+           unnest(string_split(template, '#;#')) AS piece
+    FROM reps
+  ) WHERE piece <> ''
+),
+inv AS (
+  SELECT type AS piece, list_sort(list(DISTINCT mention)) AS mentions
+  FROM m GROUP BY type
+),
+filled AS (
+  SELECT p.doc_id, p.rep, p.piece_idx, p.piece,
+         i.mentions IS NOT NULL AS is_slot,
+         CASE WHEN i.mentions IS NOT NULL THEN
+           i.mentions[CAST(
+             CAST(('0x' || substr(md5(p.doc_id || '|' || p.rep || '|'
+                                      || p.piece_idx || '|' || {seed}),
+                                  1, 12)) AS BIGINT)
+             % len(i.mentions) AS INT) + 1]
+         ELSE p.piece END AS filler
+  FROM pieces p LEFT JOIN inv i ON i.piece = p.piece
+),
+off AS (
+  SELECT *,
+         CAST(COALESCE(SUM(len(filler)) OVER (
+              PARTITION BY doc_id, rep ORDER BY piece_idx
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT)
+           AS off_start,
+         CAST(SUM(CASE WHEN is_slot THEN 1 ELSE 0 END) OVER (
+              PARTITION BY doc_id, rep ORDER BY piece_idx) AS INT)
+           AS slot_rank
+  FROM filled
+)
+SELECT CAST(('0x' || substr(md5(doc_id || '|' || rep), 1, 15)) AS BIGINT)
+         AS doc_id,
+       string_agg(filler, '' ORDER BY piece_idx) AS text,
+       CAST(COUNT(CASE WHEN is_slot THEN 1 END) AS INT) AS n_labels,
+       md5(COALESCE(string_agg(
+         CASE WHEN is_slot THEN
+           'T' || (slot_rank - 1) || ',' || piece || ',' || off_start || ','
+           || (off_start + len(filler)) || ',' || filler
+         END, ';' ORDER BY piece_idx), '')) AS labels_md5
+FROM off GROUP BY off.doc_id, rep
+"""
+
+
 Q_CANONICAL_ENTITIES_SQL = f"""
 WITH RECURSIVE
 base AS (SELECT * FROM {_DICT_SQL}),
@@ -726,6 +933,8 @@ SPARK_QUERIES = {
     "text_profile": q_text_profile,
     "doc_fingerprint": q_doc_fingerprint,
     "lsh_ann_topk": q_lsh_ann_topk,
+    "ivf_ann_topk": q_ivf_ann_topk,
+    "neardup_clusters": q_neardup_clusters,
     "media_features": q_media_features,
     "training_features": q_training_features,
     "augmented_corpus": q_augmented_corpus,
@@ -744,21 +953,24 @@ ORACLE_SQL = {
     "events_sessionized": Q_EVENTS_SESSION_SQL,
     "canonical_entities": Q_CANONICAL_ENTITIES_SQL,
     "media_features": Q_MEDIA_FEATURES_SQL,
-    # kg_mentions / kg_triples: no ANSI-SQL equivalent (Arrow-batched CRF
-    # tagging UDF) — rows-only.  lsh_ann_topk (seeded numpy hyperplanes),
-    # training_features (Python cut FSM) and augmented_corpus (xxhash64
-    # sampling) are likewise rows-only, with pytest value coverage instead.
+    "training_features": _training_features_sql(),
+    "augmented_corpus": _augmented_corpus_sql(),
+    # Only kg_mentions / kg_triples (Arrow-batched CRF tagging UDF +
+    # Viterbi — genuinely not ANSI SQL) and ivf_ann_topk (iterative
+    # k-means) remain rows-only; all are pinned exactly by the pytest
+    # parity/recall suites instead.
 }
 
 
 def _register_pipeline_sql() -> None:
     from ..functions.text import TEXT_PROFILE_SQL, doc_fingerprint_sql
-    from ..operators.ann import cosine_topk_sql
+    from ..operators.ann import cosine_topk_sql, lsh_cosine_topk_sql
     from ..operators.dedup import (
         EXACT_DUPLICATES_SQL,
         embedding_neardup_sql,
         lsh_candidate_pairs_sql,
         minhash_signatures_sql,
+        neardup_clusters_sql,
         ngram_jaccard_sql,
         simhash_sql,
     )
@@ -771,7 +983,9 @@ def _register_pipeline_sql() -> None:
             "lsh_candidate_pairs": lsh_candidate_pairs_sql(),
             "simhash": simhash_sql(),
             "embedding_neardup": embedding_neardup_sql(0.5),
+            "neardup_clusters": neardup_clusters_sql(0.5),
             "cosine_topk": cosine_topk_sql(),
+            "lsh_ann_topk": lsh_cosine_topk_sql(),
             "text_profile": TEXT_PROFILE_SQL,
             "doc_fingerprint": doc_fingerprint_sql(),
         }

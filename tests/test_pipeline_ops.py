@@ -125,3 +125,35 @@ def test_embedding_neardup_lsh_route_vs_brute(spark):
     }
     assert lsh45 <= brute45
     assert len(lsh45) / len(brute45) >= 0.8, "recall collapsed"
+
+
+def test_ivf_ann_recall(spark):
+    """IVF (k-means + nprobe buckets) vs brute-force cosine top-k."""
+    from pytorch_bert_bilstm_crf_ner_spark.operators.ann import (
+        cosine_topk,
+        ivf_cosine_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    exact = cosine_topk(emb, n_queries=10, k=5).collect()
+    approx = ivf_cosine_topk(
+        emb, n_queries=10, k=5, n_centroids=8, nprobe=3
+    ).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    # hits carry the exact cosine
+    exact_sims = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in exact}
+    for r in approx:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_sims:
+            assert abs(r["cos_sim"] - exact_sims[key]) < 1e-9
+    # determinism (seeded init + min_by tie-breaks)
+    again = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_cosine_topk(
+            emb, n_queries=10, k=5, n_centroids=8, nprobe=3
+        ).collect()
+    }
+    assert again == approx_set
