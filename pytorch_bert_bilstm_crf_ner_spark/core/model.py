@@ -71,6 +71,12 @@ class TaggerConfig:
     use_crf: bool = True        # False -> argmax decode (M6, `main.py:92-93`)
     feature_layer: str = "none"  # "bilstm" (M2) / "idcnn" (M3) / "none" (M5)
     feature_hidden: int = 16
+    # M4: the reference's mid_linear block (Linear(out, 256) + ReLU +
+    # train-only Dropout, `bert_ner_model.py:221-227`, applied at :276)
+    # between the feature layer and the tag classifier.  None = off
+    # (keeps the pinned parity weights byte-identical); set e.g. 16 to
+    # run the full encoder->mid->classifier shape.
+    mid_dim: int | None = None
 
 
 class DeterministicTagger:
@@ -100,6 +106,14 @@ class DeterministicTagger:
 
             self.feature = NumpyIDCNN(c.emb_dim, c.feature_hidden, c.seed + 1)
             feat_dim = self.feature.out_dim
+        # M4 mid_linear (`bert_ner_model.py:221-227`): Linear + ReLU
+        # (Dropout is train-only — identity at inference)
+        self.mid_w = self.mid_b = None
+        if c.mid_dim is not None:
+            self.mid_w = rng.uniform(
+                -0.5, 0.5, (feat_dim, c.mid_dim)).astype(np.float32)
+            self.mid_b = rng.uniform(-0.1, 0.1, c.mid_dim).astype(np.float32)
+            feat_dim = c.mid_dim
         self.linear_w = rng.uniform(
             -0.5, 0.5, (feat_dim, self.num_tags)).astype(np.float32)
         self.linear_b = rng.uniform(-0.1, 0.1, self.num_tags).astype(np.float32)
@@ -141,9 +155,16 @@ class DeterministicTagger:
         ids = np.frombuffer(flat.encode("utf-32-le"), dtype=np.uint32) % c.vocab_size
         B, Lmax = len(texts), int(lengths.max())
         offsets = np.concatenate(([0], np.cumsum(lengths)))
+        def classify(h):
+            # M4 mid_linear + ReLU (`bert_ner_model.py:276`), then the tag
+            # classifier — shared by the flat and padded paths
+            if self.mid_w is not None:
+                h = np.maximum(h @ self.mid_w + self.mid_b, 0.0)
+            return h @ self.linear_w + self.linear_b
+
         if self.feature is None:
             # fast path (M5): one flat gather + matmul for the whole batch
-            logits = self.embedding[ids] @ self.linear_w + self.linear_b
+            logits = classify(self.embedding[ids])
         else:
             # M2/M3 path: padded (B, Lmax, D) through the feature layer
             emb = np.zeros((B, Lmax, self.cfg.emb_dim), dtype=np.float32)
@@ -151,7 +172,7 @@ class DeterministicTagger:
                 L = lengths[b]
                 emb[b, :L] = self.embedding[ids[offsets[b] : offsets[b] + L]]
             feats = self.feature(emb)
-            logits_pad = feats @ self.linear_w + self.linear_b
+            logits_pad = classify(feats)
         em = np.zeros((B, Lmax, self.num_tags), dtype=np.float32)
         em[:, :, 0] = c.o_bias
         for b, text in enumerate(texts):

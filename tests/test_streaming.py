@@ -61,3 +61,75 @@ def test_incremental_stream(spark, dirs):
         r["batch_id"]
         for r in out.filter("conv_id like 'convA%'").select("batch_id").distinct().collect()
     } == batch_ids_1
+
+
+def test_windowed_entity_counts_watermark(spark, tmp_path):
+    """Append-mode windowed counts: a late-but-within-watermark row is
+    counted into its (closed) window; the still-open tail window is not
+    emitted.  Three files -> three micro-batches (maxFilesPerTrigger=1),
+    mtimes pinned so watermark advancement is deterministic."""
+    import datetime as dt
+    import os
+    import time as _time
+
+    from pyspark.sql.types import Row
+
+    from pytorch_bert_bilstm_crf_ner_spark.streaming.windows import (
+        windowed_entity_counts,
+    )
+
+    d = {k: str(tmp_path / k) for k in ("in", "out", "ckpt")}
+    os.makedirs(d["in"], exist_ok=True)
+
+    def turn(i, ts, text):
+        return Row(conv_id=f"c{i}", turn_idx=0, role="user", text=text,
+                   tool=None, ts=dt.datetime(2024, 1, 1, *ts))
+
+    batches = [
+        # window [10:00,10:10): two mentions; plus 10:12 to seed watermark
+        [turn(1, (10, 1), "spark spark"), turn(2, (10, 12), "merge")],
+        # late row for the first window (10:07 > watermark 09:52) + a row
+        # at 10:45 that pushes the watermark past 10:10
+        [turn(3, (10, 7), "spark"), turn(4, (10, 45), "query")],
+        # final batch advances the watermark past 10:50 so the 10:40
+        # window closes too; its own 11:30 window stays open
+        [turn(5, (11, 30), "filter")],
+    ]
+    import glob
+    import shutil
+
+    from pytorch_bert_bilstm_crf_ner_spark.streaming.ingest import (
+        TRANSCRIPTS_SCHEMA,
+    )
+
+    # the file-stream source lists FLAT files under input_dir (it doesn't
+    # recurse into per-write directories), so stage each batch and move
+    # its single part file in, with pinned mtimes for deterministic order
+    for i, rows in enumerate(batches):
+        stage = str(tmp_path / f"stage{i}")
+        spark.createDataFrame(rows, TRANSCRIPTS_SCHEMA).coalesce(
+            1
+        ).write.parquet(stage)
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        dst = f"{d['in']}/b{i}.parquet"
+        shutil.move(part, dst)
+        t = _time.time() - 300 + i * 10
+        os.utime(dst, (t, t))
+
+    q = windowed_entity_counts(spark, d["in"], d["out"], d["ckpt"],
+                               window="10 minutes", watermark="20 minutes")
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(d["out"]).collect()
+    got = {
+        (r["window_start"].strftime("%H:%M"), r["type"]): r["n_mentions"]
+        for r in out
+    }
+    # first window closed WITH the late mention: 2 early + 1 late = 3 ORG
+    assert got.get(("10:00", "ORG")) == 3
+    # the 10:10 window (merge @10:12) and 10:40 window (query @10:45)
+    # closed by the final watermark
+    assert got.get(("10:10", "PRO")) == 1
+    assert got.get(("10:40", "TITLE")) == 1
+    # the 11:30 window is still open -> not emitted in append mode
+    assert not any(k[0] == "11:30" for k in got)
