@@ -82,6 +82,13 @@ def run_default(sf_dir: str, cpus: int) -> dict:
         "cosine_topk",
         "text_profile",
         "events_sessionized",
+        "embedding_neardup",
+        "neardup_clusters",
+        "lsh_ann_topk",
+        "ivf_ann_topk",
+        "training_features",
+        "augmented_corpus",
+        "media_features",
     ):
         fn = SPARK_QUERIES[name]
         t0 = time.time()

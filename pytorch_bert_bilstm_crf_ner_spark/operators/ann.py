@@ -102,19 +102,14 @@ def lsh_buckets(embeddings: DataFrame, dim: int = 64, n_planes: int = 8,
         .join(F.broadcast(planes_df))
         .withColumn("bit", (_dot("embedding", "plane") > 0).cast("int"))
     )
+    # bucket = the sign bits packed into one bigint (sum of bit << plane) —
+    # a plain map-side-combinable SUM, no per-group array sort / string
+    # hash; injective in the bit vector, so bucket equality is unchanged
     return (
         signed.groupBy("vec_id", "table_id")
         .agg(
-            F.md5(
-                F.concat_ws(
-                    "",
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("plane_id", "bit"))
-                        ),
-                        lambda s: s["bit"].cast("string"),
-                    ),
-                )
+            F.sum(
+                F.expr("shiftleft(CAST(bit AS BIGINT), plane_id)")
             ).alias("bucket")
         )
     )
@@ -331,8 +326,7 @@ sb AS (
 ),
 buckets AS (
   SELECT vec_id, table_id,
-         md5(string_agg(CAST(bit AS VARCHAR), '' ORDER BY plane_id))
-           AS bucket
+         SUM(CAST(bit AS BIGINT) << plane_id) AS bucket
   FROM sb GROUP BY vec_id, table_id
 ),
 qb AS (

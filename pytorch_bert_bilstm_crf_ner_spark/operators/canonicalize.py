@@ -26,10 +26,14 @@ def connected_components(
 ) -> DataFrame:
     """edges(src bigint, dst bigint), undirected -> (id, component) with
     component = min id reachable.  ``vertices(id)`` adds isolated nodes."""
+    # materialize the symmetric edge list ONCE: the loop below scans it
+    # every iteration, and without this the ENTIRE upstream edge pipeline
+    # (e.g. an LSH near-dup candidate search) would re-execute per round
     sym = (
         edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
         .union(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
         .distinct()
+        .localCheckpoint()
     )
     verts = sym.select(F.col("a").alias("id")).distinct()
     if vertices is not None:

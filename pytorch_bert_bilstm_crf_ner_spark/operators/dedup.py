@@ -323,7 +323,7 @@ def _dot_ab():
 def embedding_neardup_pairs(embeddings: DataFrame,
                             threshold: float = 0.95,
                             method: str = "lsh",
-                            n_planes: int = 3,
+                            n_planes: int | None = None,
                             n_tables: int = 16,
                             seed: int = 7) -> DataFrame:
     """(vec_a, vec_b, cos_sim) for pairs above threshold; vec_a < vec_b.
@@ -334,11 +334,16 @@ def embedding_neardup_pairs(embeddings: DataFrame,
     exact cosine before the threshold filter, so precision is always 1.0
     and recall is the LSH collision probability — for a pair at cosine s,
     1 - (1 - (1 - acos(s)/pi)^n_planes)^n_tables (0.997 at s = 0.5 with
-    the 3-plane/16-table defaults; tune n_planes up for higher thresholds
-    / bigger corpora, see BASELINE.md).  ``method="brute"`` is the exact
-    quadratic baseline kept as the pytest recall oracle — NOT the plan to
-    run at scale.
+    3 planes / 16 tables; see BASELINE.md).  ``n_planes=None`` sizes the
+    bucket count to the corpus: max(3, floor(log2(n / 60))), i.e. ~60
+    vectors per bucket, so the candidate join stays near-linear as n
+    grows instead of degrading toward quadratic with fixed buckets (one
+    count() driver action).  ``method="brute"`` is the exact quadratic
+    baseline kept as the pytest recall oracle — NOT the plan to run at
+    scale.
     """
+    import math
+
     a = _with_norm(embeddings, "a")
     b = _with_norm(embeddings, "b")
     if method == "brute":
@@ -346,6 +351,9 @@ def embedding_neardup_pairs(embeddings: DataFrame,
     else:
         from .ann import lsh_buckets
 
+        if n_planes is None:
+            n = embeddings.count()
+            n_planes = max(3, int(math.floor(math.log2(max(n, 1) / 60)))) if n > 60 else 3
         dim = len(embeddings.select("embedding").first()["embedding"])
         buckets = lsh_buckets(embeddings, dim=dim, n_planes=n_planes,
                               n_tables=n_tables, seed=seed)
