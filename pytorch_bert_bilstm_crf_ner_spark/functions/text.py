@@ -97,3 +97,68 @@ SELECT doc_id,
        CAST(greatest(len(text) - {k} + 1, 1) AS INT) AS n_grams
 FROM documents d
 """
+
+
+def language_mixture(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_chars, han_ratio, latin_ratio, digit_ratio, space_ratio,
+    other_ratio, dominant_script): per-document script composition — the
+    doc-level language-mixture profile a multilingual pretraining pipeline
+    buckets by.  Counts are length deltas under global regexp_replace
+    (pure JVM); ratios rounded for engine-stable comparison; dominant
+    script picked with a fixed precedence (han > latin > digit > other)
+    so ties are deterministic."""
+    n = F.length("text")
+    def cnt(pattern):
+        return n - F.length(F.regexp_replace("text", pattern, ""))
+    han = cnt(r"[一-鿿]")
+    latin = cnt("[A-Za-z]")
+    digit = cnt("[0-9]")
+    space = cnt(" ")
+    other = n - han - latin - digit - space
+    denom = F.greatest(n, F.lit(1))
+    dominant = (
+        F.when((han >= latin) & (han >= digit) & (han >= other), "han")
+        .when((latin >= digit) & (latin >= other), "latin")
+        .when(digit >= other, "digit")
+        .otherwise("other")
+    )
+    return documents.select(
+        "doc_id",
+        n.cast("int").alias("n_chars"),
+        F.round(han / denom, 4).alias("han_ratio"),
+        F.round(latin / denom, 4).alias("latin_ratio"),
+        F.round(digit / denom, 4).alias("digit_ratio"),
+        F.round(space / denom, 4).alias("space_ratio"),
+        F.round(other / denom, 4).alias("other_ratio"),
+        dominant.alias("dominant_script"),
+    )
+
+
+LANGUAGE_MIXTURE_SQL = r"""
+WITH c AS (
+  SELECT doc_id, len(text) AS n,
+         len(text) - len(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '', 'g')) AS han,
+         len(text) - len(regexp_replace(text, '[A-Za-z]', '', 'g')) AS latin,
+         len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS digit,
+         len(text) - len(regexp_replace(text, ' ', '', 'g')) AS space
+  FROM documents
+),
+m AS (
+  SELECT doc_id, n, han, latin, digit, space,
+         n - han - latin - digit - space AS other,
+         greatest(n, 1) AS denom
+  FROM c
+)
+SELECT doc_id,
+       CAST(n AS INT) AS n_chars,
+       ROUND(han * 1.0 / denom, 4) AS han_ratio,
+       ROUND(latin * 1.0 / denom, 4) AS latin_ratio,
+       ROUND(digit * 1.0 / denom, 4) AS digit_ratio,
+       ROUND(space * 1.0 / denom, 4) AS space_ratio,
+       ROUND(other * 1.0 / denom, 4) AS other_ratio,
+       CASE WHEN han >= latin AND han >= digit AND han >= other THEN 'han'
+            WHEN latin >= digit AND latin >= other THEN 'latin'
+            WHEN digit >= other THEN 'digit'
+            ELSE 'other' END AS dominant_script
+FROM m
+"""

@@ -542,6 +542,12 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_fingerprint(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+def q_language_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import language_mixture
+
+    return language_mixture(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
 def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ann import lsh_cosine_topk
 
@@ -932,6 +938,7 @@ SPARK_QUERIES = {
     "cosine_topk": q_cosine_topk,
     "text_profile": q_text_profile,
     "doc_fingerprint": q_doc_fingerprint,
+    "language_mixture": q_language_mixture,
     "lsh_ann_topk": q_lsh_ann_topk,
     "ivf_ann_topk": q_ivf_ann_topk,
     "neardup_clusters": q_neardup_clusters,
@@ -963,7 +970,11 @@ ORACLE_SQL = {
 
 
 def _register_pipeline_sql() -> None:
-    from ..functions.text import TEXT_PROFILE_SQL, doc_fingerprint_sql
+    from ..functions.text import (
+        LANGUAGE_MIXTURE_SQL,
+        TEXT_PROFILE_SQL,
+        doc_fingerprint_sql,
+    )
     from ..operators.ann import cosine_topk_sql, lsh_cosine_topk_sql
     from ..operators.dedup import (
         EXACT_DUPLICATES_SQL,
@@ -988,6 +999,7 @@ def _register_pipeline_sql() -> None:
             "lsh_ann_topk": lsh_cosine_topk_sql(),
             "text_profile": TEXT_PROFILE_SQL,
             "doc_fingerprint": doc_fingerprint_sql(),
+            "language_mixture": LANGUAGE_MIXTURE_SQL,
         }
     )
 

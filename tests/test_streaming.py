@@ -133,3 +133,59 @@ def test_windowed_entity_counts_watermark(spark, tmp_path):
     assert got.get(("10:40", "TITLE")) == 1
     # the 11:30 window is still open -> not emitted in append mode
     assert not any(k[0] == "11:30" for k in got)
+
+
+def test_stream_dedup_exact_within_watermark(spark, tmp_path):
+    """Cross-micro-batch exact dedup: a duplicate text arriving in a
+    later batch (within the watermark) is dropped; distinct texts and
+    the first arrival survive."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+    import time as _time
+
+    from pyspark.sql.types import Row
+
+    from pytorch_bert_bilstm_crf_ner_spark.streaming.dedup import (
+        stream_dedup_exact,
+    )
+    from pytorch_bert_bilstm_crf_ner_spark.streaming.ingest import (
+        TRANSCRIPTS_SCHEMA,
+    )
+
+    d = {k: str(tmp_path / k) for k in ("in", "out", "ckpt")}
+    os.makedirs(d["in"], exist_ok=True)
+
+    def turn(i, minute, text):
+        return Row(conv_id=f"c{i}", turn_idx=0, role="user", text=text,
+                   tool=None, ts=dt.datetime(2024, 1, 1, 10, minute))
+
+    batches = [
+        [turn(1, 0, "spark query merge"), turn(2, 1, "hash join now")],
+        # duplicate of batch-1 text (10:05, watermark floor 09:31) -> drop;
+        # plus one genuinely new text
+        [turn(3, 5, "spark query merge"), turn(4, 6, "totally new words")],
+    ]
+    for i, rows in enumerate(batches):
+        stage = str(tmp_path / f"stage{i}")
+        spark.createDataFrame(rows, TRANSCRIPTS_SCHEMA).coalesce(
+            1
+        ).write.parquet(stage)
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        dst = f"{d['in']}/b{i}.parquet"
+        shutil.move(part, dst)
+        t = _time.time() - 300 + i * 10
+        os.utime(dst, (t, t))
+
+    q = stream_dedup_exact(spark, d["in"], d["out"], d["ckpt"],
+                           watermark="30 minutes")
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(d["out"])
+    rows = {(r["conv_id"], r["text"]) for r in out.collect()}
+    assert ("c1", "spark query merge") in rows
+    assert ("c3", "spark query merge") not in rows  # duplicate dropped
+    assert ("c2", "hash join now") in rows
+    assert ("c4", "totally new words") in rows
+    assert len(rows) == 3
