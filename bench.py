@@ -89,6 +89,7 @@ def run_default(sf_dir: str, cpus: int) -> dict:
         "training_features",
         "augmented_corpus",
         "media_features",
+        "language_mixture",
     ):
         fn = SPARK_QUERIES[name]
         t0 = time.time()
