@@ -23,34 +23,59 @@ def connected_components(
     edges: DataFrame,
     vertices: DataFrame | None = None,
     max_iter: int = 25,
+    materialize: str = "local_checkpoint",
 ) -> DataFrame:
     """edges(src bigint, dst bigint), undirected -> (id, component) with
-    component = min id reachable.  ``vertices(id)`` adds isolated nodes."""
+    component = min id reachable.  ``vertices(id)`` adds isolated nodes.
+
+    ``materialize`` picks how per-round frames are pinned so the loop
+    doesn't re-execute the upstream edge pipeline every iteration:
+
+    - ``"local_checkpoint"`` (default): LAZY ``localCheckpoint`` —
+      truncates lineage (plans stay flat over rounds) and materializes on
+      first use, not at construction.  Checkpoint blocks live on executor
+      local storage and are NOT fault-tolerant: an executor loss mid-run
+      fails the job, which must rerun from the last pipeline checkpoint.
+      Right for interactive / bounded runs.
+    - ``"persist"``: ``MEMORY_AND_DISK`` persist, superseded rounds
+      unpersisted.  Lineage is kept, so executor failure recomputes
+      instead of failing — the long-multi-round / 100 TB setting, at the
+      cost of plans growing with round count (bounded by ``max_iter``).
+    """
+    if materialize not in ("local_checkpoint", "persist"):
+        raise ValueError(f"materialize: {materialize!r}")
+
+    def _pin(df: DataFrame) -> DataFrame:
+        if materialize == "persist":
+            from pyspark.storagelevel import StorageLevel
+
+            return df.persist(StorageLevel.MEMORY_AND_DISK)
+        return df.localCheckpoint(eager=False)
+
     # materialize the symmetric edge list ONCE: the loop below scans it
     # every iteration, and without this the ENTIRE upstream edge pipeline
     # (e.g. an LSH near-dup candidate search) would re-execute per round
-    sym = (
+    sym = _pin(
         edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
         .union(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
         .distinct()
-        .localCheckpoint()
     )
     verts = sym.select(F.col("a").alias("id")).distinct()
     if vertices is not None:
         verts = verts.union(vertices.select(F.col("id"))).distinct()
-    comp = verts.withColumn("component", F.col("id")).localCheckpoint()
+    comp = _pin(verts.withColumn("component", F.col("id")))
 
     for _ in range(max_iter):
         # neighbor's current label flows along each edge
         msgs = sym.join(comp, sym.b == comp.id, "inner").select(
             F.col("a").alias("id"), "component"
         )
-        new_comp = (
+        new_comp = _pin(
             comp.select("id", "component")
             .union(msgs)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
-        ).localCheckpoint()
+        )
         changed = (
             new_comp.alias("n")
             .join(comp.alias("o"), "id")
@@ -58,6 +83,8 @@ def connected_components(
             .limit(1)
             .count()
         )
+        if materialize == "persist":
+            comp.unpersist()
         comp = new_comp
         if changed == 0:
             break

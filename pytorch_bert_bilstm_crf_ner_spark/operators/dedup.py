@@ -325,7 +325,9 @@ def embedding_neardup_pairs(embeddings: DataFrame,
                             method: str = "lsh",
                             n_planes: int | None = None,
                             n_tables: int = 16,
-                            seed: int = 7) -> DataFrame:
+                            seed: int = 7,
+                            n: int | None = None,
+                            dim: int | None = None) -> DataFrame:
     """(vec_a, vec_b, cos_sim) for pairs above threshold; vec_a < vec_b.
 
     ``method="lsh"`` (default, the 100 TB shape): sign-LSH bucketing
@@ -337,10 +339,16 @@ def embedding_neardup_pairs(embeddings: DataFrame,
     3 planes / 16 tables; see BASELINE.md).  ``n_planes=None`` sizes the
     bucket count to the corpus: max(3, floor(log2(n / 60))), i.e. ~60
     vectors per bucket, so the candidate join stays near-linear as n
-    grows instead of degrading toward quadratic with fixed buckets (one
-    count() driver action).  ``method="brute"`` is the exact quadratic
-    baseline kept as the pytest recall oracle — NOT the plan to run at
-    scale.
+    grows instead of degrading toward quadratic with fixed buckets.
+    ``method="brute"`` is the exact quadratic baseline kept as the pytest
+    recall oracle — NOT the plan to run at scale.
+
+    Pass ``n`` (row count, for auto-sizing ``n_planes``) and ``dim``
+    (embedding width) when known — e.g. from parquet footer metadata — so
+    plan construction launches ZERO Spark jobs; at 100 TB an implicit
+    ``count()`` is a full scan before the real query starts.  Omitted,
+    they fall back to one ``count()`` / one ``head(1)`` (empty input
+    yields an empty pair frame rather than a TypeError).
     """
     import math
 
@@ -352,9 +360,17 @@ def embedding_neardup_pairs(embeddings: DataFrame,
         from .ann import lsh_buckets
 
         if n_planes is None:
-            n = embeddings.count()
+            if n is None:
+                n = embeddings.count()
             n_planes = max(3, int(math.floor(math.log2(max(n, 1) / 60)))) if n > 60 else 3
-        dim = len(embeddings.select("embedding").first()["embedding"])
+        if dim is None:
+            head = embeddings.select("embedding").head(1)
+            if not head:
+                # empty input: no pairs (and no hyperplanes to build)
+                return embeddings.sparkSession.createDataFrame(
+                    [], "vec_a BIGINT, vec_b BIGINT, cos_sim DOUBLE"
+                )
+            dim = len(head[0]["embedding"])
         buckets = lsh_buckets(embeddings, dim=dim, n_planes=n_planes,
                               n_tables=n_tables, seed=seed)
         cand = (
@@ -400,7 +416,9 @@ WHERE ROUND(list_dot_product(a.embedding, b.embedding)
 
 
 def neardup_clusters(embeddings: DataFrame, threshold: float = 0.95,
-                     method: str = "lsh") -> DataFrame:
+                     method: str = "lsh",
+                     n: int | None = None,
+                     dim: int | None = None) -> DataFrame:
     """(vec_id, cluster_id): cluster_id = min vec_id reachable through
     above-threshold near-dup pairs.  Only vectors appearing in at least
     one pair are emitted (singletons are their own trivial cluster).
@@ -409,7 +427,8 @@ def neardup_clusters(embeddings: DataFrame, threshold: float = 0.95,
     entity canonicalization."""
     from .canonicalize import connected_components
 
-    pairs = embedding_neardup_pairs(embeddings, threshold, method=method)
+    pairs = embedding_neardup_pairs(embeddings, threshold, method=method,
+                                    n=n, dim=dim)
     edges = pairs.select(
         F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
     )

@@ -24,6 +24,21 @@ from ..sources.transcripts import transcripts_from_documents, transcripts_sql
 
 _TR = transcripts_sql()
 _DICT_SQL = entity_dict_values_sql()
+
+# conv_id -> numeric id, erring LOUDLY on any id not shaped `conv_<n>`
+# (a positional substring parse silently corrupts doc_ids otherwise —
+# round-2 VERDICT nit #3).  Same guard on both engines so drift ERRs
+# instead of hash-mismatching.
+_CONV_NUM_EXPR = (
+    "CASE WHEN conv_id RLIKE '^conv_[0-9]+$' "
+    "THEN CAST(substring(conv_id, 6) AS BIGINT) "
+    "ELSE raise_error(concat('conv_id not conv_<n>: ', conv_id)) END"
+)
+_CONV_NUM_SQL = (
+    "CASE WHEN regexp_matches(conv_id, '^conv_[0-9]+$') "
+    "THEN CAST(substring(conv_id, 6) AS BIGINT) "
+    "ELSE error('conv_id not conv_<n>: ' || conv_id) END"
+)
 _SINGLE_DICT_SQL = entity_dict_values_sql(
     tuple(r for r in ENTITY_DICT_ROWS if " " not in r[1])
 )
@@ -516,11 +531,31 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+def _embeddings_meta(path: str) -> tuple[int | None, int | None]:
+    """(row count, embedding width) from the parquet footer + first value
+    of the first row group — driver-side file metadata only, NO Spark job
+    (at 100 TB an implicit count() is a full scan before the real query
+    starts).  Falls back to (None, None) — the operators then auto-probe."""
+    try:
+        import pyarrow.parquet as pq
+
+        f = pq.ParquetFile(path)
+        n = f.metadata.num_rows
+        if not n:
+            return n, None
+        batch = next(f.iter_batches(batch_size=1, columns=["embedding"]))
+        return n, len(batch.column("embedding")[0])
+    except Exception:
+        return None, None
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import embedding_neardup_pairs
 
+    n, dim = _embeddings_meta(f"{sf_dir}/embeddings.parquet")
     return embedding_neardup_pairs(
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), threshold=0.5
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), threshold=0.5,
+        n=n, dim=dim,
     )
 
 
@@ -569,8 +604,10 @@ def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force pair list."""
     from ..operators.dedup import neardup_clusters
 
+    n, dim = _embeddings_meta(f"{sf_dir}/embeddings.parquet")
     return neardup_clusters(
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), threshold=0.5
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), threshold=0.5,
+        n=n, dim=dim,
     )
 
 
@@ -579,7 +616,7 @@ def _mid_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     (labels = dictionary mentions with exclusive ends)."""
     m = _dict_mentions(spark, sf_dir)
     labels = (
-        m.withColumn("doc_id", F.expr("CAST(substring(conv_id, 6) AS BIGINT)"))
+        m.withColumn("doc_id", F.expr(_CONV_NUM_EXPR))
         .groupBy("doc_id", "turn_idx")
         .agg(
             F.transform(
@@ -597,7 +634,7 @@ def _mid_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     t = _transcripts(spark, sf_dir).withColumn(
-        "doc_id", F.expr("CAST(substring(conv_id, 6) AS BIGINT)")
+        "doc_id", F.expr(_CONV_NUM_EXPR)
     )
     return (
         t.join(labels, ["doc_id", "turn_idx"], "left")
@@ -744,15 +781,19 @@ def _training_features_sql(max_seq_len: int = 128, vocab_size: int = 4099) -> st
 WITH m AS ({_DICT_MENTIONS_SQL}),
 tr AS ({_TR}),
 mid AS (
-  SELECT CAST(substring(conv_id, 6) AS BIGINT) * 10000 + turn_idx AS doc_id,
-         -- guard: the identity-cut assumption (turn <= {body} chars)
+  SELECT ({_CONV_NUM_SQL}) * 10000 + turn_idx AS doc_id,
+         -- guards for the identity-cut assumption: Spark's build_features
+         -- SKIPS empty turns and cuts turns over {body} chars, so either
+         -- case must ERR loudly here instead of silently mismatching
          CASE WHEN len(text) > {body}
               THEN error('training_features twin: turn exceeds cut size')
+              WHEN len(text) = 0
+              THEN error('training_features twin: empty turn (Spark side skips it)')
               ELSE text END AS text
   FROM tr
 ),
 labels AS (
-  SELECT CAST(substring(conv_id, 6) AS BIGINT) * 10000 + turn_idx AS doc_id,
+  SELECT ({_CONV_NUM_SQL}) * 10000 + turn_idx AS doc_id,
          start, mention, type
   FROM m
 ),
@@ -823,12 +864,12 @@ def _augmented_corpus_sql(repeat: int = 1, seed: int = 1234) -> str:
 WITH m AS ({_DICT_MENTIONS_SQL}),
 tr AS ({_TR}),
 mid AS (
-  SELECT CAST(substring(conv_id, 6) AS BIGINT) * 10000 + turn_idx AS doc_id,
+  SELECT ({_CONV_NUM_SQL}) * 10000 + turn_idx AS doc_id,
          text, conv_id, turn_idx
   FROM tr
 ),
 midlab AS (
-  SELECT CAST(substring(conv_id, 6) AS BIGINT) * 10000 + turn_idx AS doc_id,
+  SELECT ({_CONV_NUM_SQL}) * 10000 + turn_idx AS doc_id,
          list(mention || chr(1) || type ORDER BY start, mention, type) AS labs
   FROM m GROUP BY 1
 ),

@@ -77,6 +77,15 @@ def read_bmes(spark: SparkSession, path: str) -> DataFrame:
                 for i, (text, labels) in enumerate(
                     parse_bmes_lines(value.splitlines())
                 ):
+                    if i >= 1 << 20:
+                        # the sentence index lives in the low 20 bits of
+                        # doc_id; overflowing would silently bleed into the
+                        # file-hash bits and collide — err loudly instead
+                        # (the SQL twins' error() guard convention)
+                        raise ValueError(
+                            f"read_bmes: {fname} has >= 2^20 sentences; "
+                            "doc_id index field would overflow"
+                        )
                     rows.append(
                         {
                             "doc_id": fhash | i,

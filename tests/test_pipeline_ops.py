@@ -127,6 +127,30 @@ def test_embedding_neardup_lsh_route_vs_brute(spark):
     assert len(lsh45) / len(brute45) >= 0.8, "recall collapsed"
 
 
+def test_embedding_neardup_explicit_meta_and_empty(spark):
+    """Passing n/dim must skip the plan-build count()/head() probes and
+    return the identical result; an EMPTY embeddings table must yield an
+    empty pair frame, not a TypeError (round-2 ADVICE)."""
+    from pytorch_bert_bilstm_crf_ner_spark.operators.dedup import (
+        embedding_neardup_pairs,
+        neardup_clusters,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    auto = {
+        tuple(r) for r in embedding_neardup_pairs(emb, 0.5).collect()
+    }
+    explicit = {
+        tuple(r)
+        for r in embedding_neardup_pairs(emb, 0.5, n=500, dim=64).collect()
+    }
+    assert explicit == auto and auto
+
+    empty = emb.limit(0)
+    assert embedding_neardup_pairs(empty, 0.5).collect() == []
+    assert neardup_clusters(empty, 0.5).collect() == []
+
+
 def test_ivf_ann_recall(spark):
     """IVF (k-means + nprobe buckets) vs brute-force cosine top-k."""
     from pytorch_bert_bilstm_crf_ner_spark.operators.ann import (
