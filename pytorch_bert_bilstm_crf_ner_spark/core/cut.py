@@ -5,6 +5,12 @@ regex split (。！？? then ；;) followed by a greedy re-merge so every cut is
 at most ``max_seq_len - 2`` chars while ``''.join(cuts) == text`` holds, and
 a label-offset reprojection into cut-local coordinates that silently drops
 spans whose text no longer matches and raises on spans crossing a cut.
+
+The serving/batch-predict path uses a DIFFERENT cutter — the three-tier
+`cut.py:24-76` (`predict.py:125`, `scripts/server.py:55`), which adds a
+comma split plus a strict-`<` repack, may silently DROP text, and never
+asserts the concat invariant.  :func:`cut_sentences_main` ports it quirk
+for quirk (parity-tested against the exec'd reference source).
 """
 
 from __future__ import annotations
@@ -58,6 +64,63 @@ def cut_sent_for_bert(text: str, max_seq_len: int) -> list[str]:
         merged.append(acc)
         i = j
     return merged
+
+
+_TIER3 = (re.compile(r"([,，])([^”’])"), r"\1\n\2")
+
+
+def cut_sentences_tier3(sent: str) -> list[str]:
+    """Third-rank split on ,， (`cut.py:24-28`)."""
+    return _apply((_TIER3,), sent)
+
+
+def cut_sentences_main(text: str, max_seq_len: int) -> list[str]:
+    """Three-tier serving cut — faithful port of `cut.py:30-76`, the cutter
+    used by `predict.py:125` / `scripts/server.py:55` (callers pass their
+    model's ``max_seq_len - 2`` as ``max_seq_len``).
+
+    Deliberately preserved reference quirks:
+
+    - short-circuit: ``len(text) <= max_seq_len`` returns ``[text]`` whole;
+    - tier-2 applies when a tier-1 piece is ``> max_seq_len`` (no ``- 2``);
+    - the comma repack uses STRICT ``length + len(piece) < max_seq_len``;
+    - when the repack buffer is empty and the next comma piece alone
+      already fails the strict test, that piece is silently DROPPED (the
+      ``tmp = [piece]`` reset lives inside ``if "".join(tmp) != ""``) — so
+      ``''.join(result)`` may lose text and no assert fires;
+    - a flushed buffer seeded with an overlong piece IS emitted, so output
+      pieces can exceed ``max_seq_len``;
+    - whitespace-only pieces are filtered from the final result.
+    """
+    if len(text) <= max_seq_len:
+        return [text]
+
+    sentences: list[str] = []
+    for s1 in cut_sentences_tier1(text):
+        if len(s1) > max_seq_len:
+            sentences.extend(cut_sentences_tier2(s1))
+        else:
+            sentences.append(s1)
+
+    res: list[str] = []
+    for sent in sentences:
+        if len(sent) > max_seq_len:
+            tmp: list[str] = []
+            length = 0
+            for piece in cut_sentences_tier3(sent):
+                if length + len(piece) < max_seq_len:
+                    tmp.append(piece)
+                    length += len(piece)
+                elif "".join(tmp) != "":
+                    res.append("".join(tmp))
+                    tmp = [piece]
+                    length = len(piece)
+                # else: buffer empty and piece alone too long -> DROPPED
+            if "".join(tmp) != "":
+                res.append("".join(tmp))
+        else:
+            res.append(sent)
+    return [p for p in res if p.strip() != ""]
 
 
 def refactor_labels(sent: str, labels: list, start_index: int) -> list[tuple]:

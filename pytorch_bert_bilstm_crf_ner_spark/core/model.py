@@ -77,6 +77,13 @@ class TaggerConfig:
     # (keeps the pinned parity weights byte-identical); set e.g. 16 to
     # run the full encoder->mid->classifier shape.
     mid_dim: int | None = None
+    # P2 long-piece fallback when the two-tier cut leaves a piece over
+    # max_seq_len - 2: "hard_chunk" (default — char slicing, concat
+    # invariant preserved, keeps round-1/2 parity outputs) or
+    # "three_tier" — the reference serving cutter `cut.py:24-76`
+    # (comma split + strict-< repack; reference quirks apply: text may be
+    # silently dropped, so the concat invariant does NOT hold).
+    long_piece_cut: str = "hard_chunk"
 
 
 class DeterministicTagger:
@@ -133,13 +140,27 @@ class DeterministicTagger:
 
     def _piece(self, text: str) -> list[str]:
         """Cut to <= max_seq_len - 2 chars: reference tiered sentence cut
-        first (`cutSentences.py:24-58`), then hard char-chunking for text
-        with no punctuation (concat invariant preserved)."""
+        first (`cutSentences.py:24-58`), then the configured fallback for
+        pieces still over the limit — hard char-chunking (default; concat
+        invariant preserved) or the reference serving cutter
+        `cut.py:30-76` (``long_piece_cut="three_tier"``; comma repack,
+        may drop text per reference semantics — any piece it emits over
+        the limit is still hard-chunked so downstream padding holds)."""
         limit = self.cfg.max_seq_len - 2
         pieces: list[str] = []
         for p in cut_sent_for_bert(text, self.cfg.max_seq_len):
             if len(p) <= limit:
                 pieces.append(p)
+            elif self.cfg.long_piece_cut == "three_tier":
+                from .cut import cut_sentences_main
+
+                for q in cut_sentences_main(p, limit):
+                    if len(q) <= limit:
+                        pieces.append(q)
+                    else:
+                        pieces.extend(
+                            q[i : i + limit] for i in range(0, len(q), limit)
+                        )
             else:
                 pieces.extend(p[i : i + limit] for i in range(0, len(p), limit))
         return pieces

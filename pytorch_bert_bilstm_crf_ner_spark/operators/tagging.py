@@ -66,7 +66,8 @@ def make_tag_turns_udf(cfg: TaggerConfig | None = None, tagger_factory=None):
 
 
 def extract_mentions(transcripts: DataFrame,
-                     cfg: TaggerConfig | None = None) -> DataFrame:
+                     cfg: TaggerConfig | None = None,
+                     tagger_factory=None) -> DataFrame:
     """transcripts -> mention rows (conv_id, turn_idx, mention, start, type).
 
     Only (conv_id, turn_idx, text) enter the UDF stage (column pruning);
@@ -74,8 +75,12 @@ def extract_mentions(transcripts: DataFrame,
     The keyed output replaces the reference's positional pred<->callback zip
     (`main.py:95-111`) — every downstream comparison joins on
     (conv_id, turn_idx, start), which is stable under any partitioning.
+
+    ``tagger_factory`` routes checkpointed weights through the UDF — e.g.
+    `core.checkpoint.broadcast_tagger_factory(spark, ckpt_dir)` (broadcast
+    state_dict, rebuilt once per python worker).
     """
-    tag_udf = make_tag_turns_udf(cfg)
+    tag_udf = make_tag_turns_udf(cfg, tagger_factory=tagger_factory)
     tagged = (
         transcripts.filter(F.length("text") > 0)
         .select("conv_id", "turn_idx", "text")

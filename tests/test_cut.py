@@ -67,3 +67,85 @@ def test_matches_reference_impl():
 def test_crossing_span_raises():
     with pytest.raises(RuntimeError):
         refactor_labels("深圳市沙", [["T0", "GPE", 2, 6, "市沙头角"]], 0)
+
+
+# --------------------------------------------------------------------- #
+# three-tier serving cutter (`cut.py:24-76`) parity
+
+
+# adversarial fixtures for cut_sentences_main quirks
+_MAIN_FIXTURES = [
+    # comma-only long text (ASCII and fullwidth commas)
+    "aaa," * 30,
+    "字符，" * 40,
+    # first tier-3 piece alone exceeds the limit -> silent DROP quirk
+    "x" * 50 + "，" + "短句，" * 10,
+    # consecutive overlong comma pieces (drop cascade until a short one)
+    "y" * 45 + "," + "z" * 45 + "," + "ok，" * 8,
+    # overlong piece after a flushed buffer IS emitted (> max_seq_len out)
+    "短，" * 10 + "w" * 60 + "，尾巴",
+    # quote-closed enders and ellipsis tiers
+    "他说。”然后走了！？" * 12,
+    "省略......后续……继续" * 10,
+    # semicolon tier-2 path
+    ("分号；" * 20 + "。") * 3,
+    # whitespace-only pieces get filtered
+    "   ，  ，" + "实体内容，" * 15 + "   ",
+    # short-circuit boundary: len(text) == max_seq_len returns [text]
+    "e" * 40,
+    "f" * 41,
+    # no punctuation at all, longer than the limit
+    "g" * 90,
+    DOC,
+]
+
+
+def test_cut_sentences_main_matches_reference_impl():
+    """Quirk-for-quirk live parity with the exec'd `cut.py:24-76` —
+    including the drop-when-buffer-empty case, the strict-< repack, the
+    overlong-piece emission and the whitespace filter."""
+    ns = load_reference_module("cut.py")
+    if ns is None:
+        pytest.skip("reference tree unavailable")
+    from pytorch_bert_bilstm_crf_ner_spark.core.cut import cut_sentences_main
+
+    for text in _MAIN_FIXTURES:
+        for max_len in (14, 40, 90, 126):
+            assert cut_sentences_main(text, max_len) == ns[
+                "cut_sentences_main"
+            ](text, max_len), (text[:30], max_len)
+
+
+def test_cut_sentences_main_drop_quirk():
+    """The reference silently drops a leading overlong comma piece; the
+    port must too (documented quirk, not a bug)."""
+    from pytorch_bert_bilstm_crf_ner_spark.core.cut import cut_sentences_main
+
+    text = "x" * 50 + "，" + "ab，" * 5
+    out = cut_sentences_main(text, 40)
+    joined = "".join(out)
+    assert "x" * 50 not in joined  # leading overlong piece dropped
+    assert "ab，" in joined        # the short tail survives
+
+
+def test_tagger_three_tier_piece_mode():
+    """`long_piece_cut="three_tier"` routes overlong pieces through the
+    serving cutter; the default keeps the round-1/2 hard-chunk outputs."""
+    from pytorch_bert_bilstm_crf_ner_spark.core.model import (
+        DeterministicTagger,
+        TaggerConfig,
+    )
+
+    text = "alpha beta, gamma delta, " * 8  # comma-only, no tier-1/2 enders
+    hard = DeterministicTagger(TaggerConfig(max_seq_len=32))
+    tiered = DeterministicTagger(
+        TaggerConfig(max_seq_len=32, long_piece_cut="three_tier")
+    )
+    hp = hard._piece(text)
+    tp = tiered._piece(text)
+    assert all(len(p) <= 30 for p in hp) and "".join(hp) == text
+    assert all(len(p) <= 30 for p in tp)
+    # three-tier cuts on comma boundaries instead of mid-word char slices
+    assert tp != hp and all(p.endswith((",", " ")) or p == tp[-1] for p in tp)
+    # default config is unchanged (pinned parity outputs)
+    assert TaggerConfig().long_piece_cut == "hard_chunk"
