@@ -48,7 +48,7 @@ def _pipeline_secs(spark, sf_dir, transcripts_df=None):
     return dt, n_turns, n_triples
 
 
-def run_default(sf_dir: str, cpus: int) -> dict:
+def run_default(sf_dir: str, cpus: int, production_shapes: bool = False) -> dict:
     from pytorch_bert_bilstm_crf_ner_spark.plans.queries import SPARK_QUERIES
     from pytorch_bert_bilstm_crf_ner_spark.plans.session import get_spark
 
@@ -96,25 +96,28 @@ def run_default(sf_dir: str, cpus: int) -> dict:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         queries[name] = round(time.time() - t0, 3)
 
-    # production-shape MinHash/LSH (K=64, 16 bands x r=4) — the registered
-    # K=8 twin is the oracle-portable toy; this times the real parameters
-    # (recall curve in BASELINE.md)
-    from pytorch_bert_bilstm_crf_ner_spark.operators.dedup import (
-        lsh_candidate_pairs,
-        minhash_signatures,
-    )
+    if production_shapes:
+        # production-shape MinHash/LSH (K=64, 16 bands x r=4) — the
+        # registered K=8 twin is the oracle-portable toy; this times the
+        # real parameters (recall curve in BASELINE.md).  Opt-in via
+        # --production-shapes: these two dominated round-2 wall time
+        # (~43s) and made per-round headline lists incomparable.
+        from pytorch_bert_bilstm_crf_ner_spark.operators.dedup import (
+            lsh_candidate_pairs,
+            minhash_signatures,
+        )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    t0 = time.time()
-    minhash_signatures(docs, n_hashes=64).write.format("noop").mode(
-        "overwrite"
-    ).save()
-    queries["minhash_k64"] = round(time.time() - t0, 3)
-    t0 = time.time()
-    lsh_candidate_pairs(docs, n_hashes=64, band_size=4).write.format(
-        "noop"
-    ).mode("overwrite").save()
-    queries["lsh_pairs_k64_b16"] = round(time.time() - t0, 3)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        t0 = time.time()
+        minhash_signatures(docs, n_hashes=64).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        queries["minhash_k64"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        lsh_candidate_pairs(docs, n_hashes=64, band_size=4).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        queries["lsh_pairs_k64_b16"] = round(time.time() - t0, 3)
     spark.stop()
 
     return {
@@ -194,4 +197,5 @@ if __name__ == "__main__":
         n_high = int(sys.argv[4]) if len(sys.argv) > 4 else 4 * n_low
         print(json.dumps(run_scaling(n_convs, n_low, n_high)))
     else:
-        print(json.dumps(run_default(sf_dir, cpus)))
+        prod = "--production-shapes" in sys.argv[1:]
+        print(json.dumps(run_default(sf_dir, cpus, production_shapes=prod)))

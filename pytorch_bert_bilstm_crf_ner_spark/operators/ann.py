@@ -229,18 +229,79 @@ def _assign_to_centroid(embeddings: DataFrame, centroids_df: DataFrame) -> DataF
     )
 
 
+def ivf_train_centroids(vec_ids, vectors, k: int = 8, max_iter: int = 3,
+                        seed: int = 7,
+                        max_train_rows: int = 65536) -> list[list[float]]:
+    """Driver-side numpy Lloyd training for the IVF coarse quantizer.
+
+    The FAISS convention: the quantizer trains on a bounded driver-held
+    sample, then the full corpus is ASSIGNED distributedly.  Everything
+    here is deterministic and engine-independent — rows are processed in
+    vec_id order, the init (and the over-cap subsample) picks the k rows
+    with the smallest md5(vec_id|seed), ties in assignment break to the
+    lowest centroid_id — so the returned centroids can be inlined as
+    LITERALS into both the Spark plan and the DuckDB twin (the
+    `lsh_cosine_topk_sql` precedent), removing iterative float drift from
+    the cross-engine comparison entirely.  For quantizers too big to
+    train driver-side, use the distributed :func:`kmeans_centroids`."""
+    import hashlib
+
+    ids = [int(i) for i in vec_ids]
+    order = sorted(range(len(ids)), key=lambda j: ids[j])
+    v = np.asarray(vectors, dtype=np.float64)[order]
+    ids = [ids[j] for j in order]
+
+    def h(vid: int) -> str:
+        return hashlib.md5(f"{vid}|{seed}".encode()).hexdigest()
+
+    if len(ids) > max_train_rows:
+        keep = sorted(range(len(ids)), key=lambda j: h(ids[j]))[:max_train_rows]
+        keep.sort()
+        v = v[keep]
+        ids = [ids[j] for j in keep]
+    init_idx = sorted(range(len(ids)), key=lambda j: h(ids[j]))[:k]
+    cents = v[init_idx].copy()
+
+    def _scores(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        # NOT a @ b.T: BLAS reduction order varies with thread count, and
+        # these centroids must be bit-reproducible across processes (the
+        # Spark plan and the DuckDB twin inline them independently).  A
+        # sequential loop over dims is threading-independent.
+        out = np.zeros((a.shape[0], b.shape[0]), dtype=np.float64)
+        for d in range(a.shape[1]):
+            out += np.outer(a[:, d], b[:, d])
+        return out
+
+    vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+    for _ in range(max_iter):
+        cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+        assign = np.argmax(_scores(vn, cn), axis=1)  # ties -> lowest id
+        for ci in range(len(cents)):
+            members = v[assign == ci]
+            if len(members):
+                cents[ci] = members.mean(axis=0)
+    return [[float(x) for x in c] for c in cents]
+
+
 def ivf_cosine_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
                     n_centroids: int = 8, nprobe: int = 3,
-                    max_iter: int = 3, seed: int = 7) -> DataFrame:
+                    max_iter: int = 3, seed: int = 7,
+                    centroids: list[list[float]] | None = None) -> DataFrame:
     """IVF ANN: bucket every vector by its nearest k-means centroid; for
     each query, search only the ``nprobe`` nearest buckets, exact cosine
     re-rank inside.  The 100 TB shape: the bucket assignment is one
     broadcast join (centroids are driver-sized), the candidate join is an
     equi-join on centroid_id — no quadratic stage anywhere.  Recall is
     tuned by (n_centroids, nprobe); pytest pins it against the brute-force
-    cosine_topk.  No SQL twin (iterative k-means) — rows-only."""
+    cosine_topk.
+
+    ``centroids`` supplies a pre-trained quantizer (e.g.
+    :func:`ivf_train_centroids`) — the hash-twin route, since the same
+    literals feed :func:`ivf_cosine_topk_sql`; omitted, the quantizer is
+    trained in-Spark with :func:`kmeans_centroids` (rows-only)."""
     spark = embeddings.sparkSession
-    centroids = kmeans_centroids(embeddings, n_centroids, max_iter, seed)
+    if centroids is None:
+        centroids = kmeans_centroids(embeddings, n_centroids, max_iter, seed)
     cdf = spark.createDataFrame(
         [(i, c) for i, c in enumerate(centroids)],
         "centroid_id INT, centroid ARRAY<DOUBLE>",
@@ -297,6 +358,65 @@ def ivf_cosine_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
             "rank",
         )
     )
+
+
+def ivf_cosine_topk_sql(centroids: list[list[float]], n_queries: int = 10,
+                        k: int = 5, nprobe: int = 3) -> str:
+    """DuckDB twin of :func:`ivf_cosine_topk` given the SAME pre-trained
+    centroid literals the Spark plan broadcasts (`ivf_train_centroids`).
+    Assignment/probe scores are sequential double dot products from
+    identical literals on both engines, so they are bit-identical and the
+    argmax / nprobe ranking (score DESC, centroid_id ASC) picks the same
+    buckets; the re-rank cosine is rounded to 4 like the Spark column."""
+    rows = ",\n    ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in c)}])"
+        for i, c in enumerate(centroids)
+    )
+    return f"""
+WITH cents(centroid_id, centroid) AS (VALUES
+    {rows}
+),
+cscore AS (
+  SELECT e.vec_id, ct.centroid_id,
+         list_dot_product(e.embedding, ct.centroid)
+         / (sqrt(list_dot_product(e.embedding, e.embedding))
+            * sqrt(list_dot_product(ct.centroid, ct.centroid))) AS score
+  FROM embeddings e CROSS JOIN cents ct
+),
+assigned AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY score DESC, centroid_id) AS rn
+    FROM cscore) WHERE rn = 1
+),
+qprobe AS (
+  SELECT vec_id AS q_id, centroid_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY score DESC, centroid_id) AS rn
+    FROM cscore WHERE vec_id < {n_queries}) WHERE rn <= {nprobe}
+),
+cand AS (
+  SELECT DISTINCT qp.q_id, a.vec_id AS c_id
+  FROM assigned a JOIN qprobe qp ON qp.centroid_id = a.centroid_id
+  WHERE a.vec_id <> qp.q_id
+),
+scored AS (
+  SELECT cand.q_id AS query_id, cand.c_id AS neighbor_id,
+         ROUND(list_dot_product(q.embedding, c.embedding)
+               / (sqrt(list_dot_product(q.embedding, q.embedding))
+                  * sqrt(list_dot_product(c.embedding, c.embedding))), 4)
+           AS cos_sim
+  FROM cand
+  JOIN embeddings q ON q.vec_id = cand.q_id
+  JOIN embeddings c ON c.vec_id = cand.c_id
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id)
+             AS rank
+      FROM scored)
+WHERE rank <= {k}
+"""
 
 
 def lsh_cosine_topk_sql(n_queries: int = 10, k: int = 5, dim: int = 64,
