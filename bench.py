@@ -134,44 +134,54 @@ def run_default(sf_dir: str, cpus: int, production_shapes: bool = False) -> dict
     }
 
 
-def run_scaling(n_convs: int, n_low: int = 8, n_high: int = 32) -> dict:
-    """Same synthesized input at local[N] and local[4N]; efficiency =
-    (throughput_4N / throughput_N) / (4N / N)."""
+def run_scaling_side(n_convs: int, cores: int,
+                     repeats: int | None = None) -> dict:
+    """ONE side of the two-cluster-size measurement: the pipeline over the
+    same synthesized input at local[cores].  Split out so a calm-gate
+    harness (`scripts/calm_scaling.py`) can check ambient load immediately
+    before EACH side and pair only calm samples."""
     from pytorch_bert_bilstm_crf_ner_spark.plans.session import get_spark
     from pytorch_bert_bilstm_crf_ner_spark.sources.synth import synth_transcripts
 
-    results = {}
-    repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "3"))
+    repeats = repeats or int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "3"))
     # SPARK_GRAFT_AQE=false isolates data-path scaling from AQE's per-stage
     # driver re-planning latency (~6s on this sub-minute job; amortized to
     # nothing at production run lengths, where AQE stays on for skew)
     aqe = os.environ.get("SPARK_GRAFT_AQE", "true")
-    for cores in (n_low, n_high):
-        spark = get_spark(
-            app_name=f"bench-scaling-{cores}",
-            cores=cores,
-            extra_conf={"spark.sql.adaptive.enabled": aqe},
-        )
-        spark.sparkContext.setLogLevel("ERROR")
-        spark.range(1000).selectExpr("sum(id)").collect()
-        tr = synth_transcripts(spark, n_convs, partitions=cores * 2)
-        # warm-up: python workers + JIT on a slice, then best-of-N measured
-        # runs (the sandbox carries ambient background load; min is the
-        # least-contended estimate)
-        _pipeline_secs(spark, "", transcripts_df=tr.limit(5000))
-        runs = [
-            _pipeline_secs(spark, "", transcripts_df=tr) for _ in range(repeats)
-        ]
-        sec = min(r[0] for r in runs)
-        n_turns, n_triples = runs[0][1], runs[0][2]
-        results[cores] = {
-            "sec": round(sec, 2),
-            "all_secs": [round(r[0], 2) for r in runs],
-            "turns": n_turns,
-            "triples": n_triples,
-            "turns_per_sec": round(n_turns / sec, 1),
-        }
-        spark.stop()
+    spark = get_spark(
+        app_name=f"bench-scaling-{cores}",
+        cores=cores,
+        extra_conf={"spark.sql.adaptive.enabled": aqe},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    tr = synth_transcripts(spark, n_convs, partitions=cores * 2)
+    # warm-up: python workers + JIT on a slice, then best-of-N measured
+    # runs (the sandbox carries ambient background load; min is the
+    # least-contended estimate)
+    _pipeline_secs(spark, "", transcripts_df=tr.limit(5000))
+    runs = [
+        _pipeline_secs(spark, "", transcripts_df=tr) for _ in range(repeats)
+    ]
+    sec = min(r[0] for r in runs)
+    n_turns, n_triples = runs[0][1], runs[0][2]
+    spark.stop()
+    return {
+        "cores": cores,
+        "sec": round(sec, 2),
+        "all_secs": [round(r[0], 2) for r in runs],
+        "turns": n_turns,
+        "triples": n_triples,
+        "turns_per_sec": round(n_turns / sec, 1),
+    }
+
+
+def run_scaling(n_convs: int, n_low: int = 8, n_high: int = 32) -> dict:
+    """Same synthesized input at local[N] and local[4N]; efficiency =
+    (throughput_4N / throughput_N) / (4N / N)."""
+    results = {
+        cores: run_scaling_side(n_convs, cores) for cores in (n_low, n_high)
+    }
     eff = (
         results[n_high]["turns_per_sec"] / results[n_low]["turns_per_sec"]
     ) / (n_high / n_low)
@@ -188,7 +198,12 @@ if __name__ == "__main__":
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    if len(sys.argv) > 1 and sys.argv[1] == "--scaling":
+    if len(sys.argv) > 1 and sys.argv[1] == "--scaling-side":
+        cores = int(sys.argv[2])
+        n_convs = int(sys.argv[3]) if len(sys.argv) > 3 else 45_000
+        repeats = int(sys.argv[4]) if len(sys.argv) > 4 else None
+        print(json.dumps(run_scaling_side(n_convs, cores, repeats)))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":
         n_convs = int(sys.argv[2]) if len(sys.argv) > 2 else 15_000
         # default N=2 -> 4N=8: this sandbox's 32 vCPUs saturate at ~8-10
         # real cores (see BASELINE.md "Methodology caveat"), so 2->8 is the

@@ -553,6 +553,13 @@ def _embeddings_meta(path: str) -> tuple[int | None, int | None]:
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered plan = LSH candidates + exact re-verify (precision 1.0
+    structurally); the DuckDB twin is brute-force exact, so the hash check
+    additionally relies on LSH recall being 1.0 on the compared data —
+    true at the driver's fixed sf0.01/threshold 0.5 and pinned by
+    `test_embedding_neardup_lsh_route_vs_brute` (round-2 ADVICE: accepted
+    while the driver's scale factor is fixed; a different comparison SF
+    would need the recall re-pinned or the brute plan registered)."""
     from ..operators.dedup import embedding_neardup_pairs
 
     n, dim = _embeddings_meta(f"{sf_dir}/embeddings.parquet")

