@@ -151,6 +151,32 @@ def test_embedding_neardup_explicit_meta_and_empty(spark):
     assert neardup_clusters(empty, 0.5).collect() == []
 
 
+def test_ivf_train_centroids_deterministic():
+    """The IVF twin inlines these centroids as literals from TWO
+    independent call sites (the registered Spark query and oracle_sql),
+    possibly in different processes — training must be bit-reproducible
+    and input-order independent."""
+    import numpy as np
+
+    from pytorch_bert_bilstm_crf_ner_spark.operators.ann import (
+        ivf_train_centroids,
+    )
+
+    rng = np.random.RandomState(3)
+    ids = list(range(200))
+    vecs = rng.normal(size=(200, 16)).tolist()
+    a = ivf_train_centroids(ids, vecs, k=4, max_iter=3, seed=7)
+    b = ivf_train_centroids(ids, vecs, k=4, max_iter=3, seed=7)
+    assert a == b  # bit-exact, not approximately
+    perm = rng.permutation(200)
+    c = ivf_train_centroids(
+        [ids[i] for i in perm], [vecs[i] for i in perm], k=4, max_iter=3, seed=7
+    )
+    assert c == a  # row order must not matter (parquet scan order varies)
+    d = ivf_train_centroids(ids, vecs, k=4, max_iter=3, seed=8)
+    assert d != a  # seed actually steers the init
+
+
 def test_ivf_ann_recall(spark):
     """IVF (k-means + nprobe buckets) vs brute-force cosine top-k."""
     from pytorch_bert_bilstm_crf_ner_spark.operators.ann import (
