@@ -48,6 +48,13 @@ class PipelineConfig:
     # the preagg shuffle is bounded by distinct (conv, turn, entity).
     # False = the instance-level debug path.
     preagg_cooccurrence: bool = True
+    # Directory of a numpy-weights model checkpoint (`core/checkpoint.py`).
+    # Set, the tag UDF runs from the checkpoint's weights: read ONCE on
+    # the driver, sc.broadcast to executors, tagger rebuilt per python
+    # worker — the production serve-from-trained-weights path
+    # (reference `utils/trainUtils.py:86-115`).  None = cfg.tagger's
+    # seeded weights.
+    checkpoint_dir: str | None = None
 
 
 def _stage_done(out: str, stage: str) -> bool:
@@ -121,7 +128,13 @@ def run_pipeline(
     if out is None:
         transcripts = transcripts.persist()
 
-    mentions = extract_mentions(transcripts, cfg.tagger)
+    tagger_factory = None
+    if cfg.checkpoint_dir is not None:
+        from ..core.checkpoint import broadcast_tagger_factory
+
+        tagger_factory = broadcast_tagger_factory(spark, cfg.checkpoint_dir)
+    mentions = extract_mentions(transcripts, cfg.tagger,
+                                tagger_factory=tagger_factory)
     mentions = _materialize(mentions, out, "mentions", run_id)
     if out is None:
         mentions = mentions.persist()

@@ -600,21 +600,31 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @functools.lru_cache(maxsize=8)
-def _ivf_centroids(path: str) -> tuple:
+def _ivf_centroids(path: str, max_read_rows: int = 131_072) -> tuple:
     """Coarse-quantizer centroids for the registered IVF query: trained
     driver-side in numpy from the embeddings parquet (the FAISS
     convention — quantizers train on a bounded sample), deterministically,
-    so the SAME literals feed the Spark plan and the DuckDB twin."""
+    so the SAME literals feed the Spark plan and the DuckDB twin.
+
+    The driver reads AT MOST ``max_read_rows`` leading rows via streamed
+    record batches — bounded memory at any table size (a full
+    ``read_table`` would be a driver OOM at 100 TB); `ivf_train_centroids`
+    then md5-subsamples those down to its own training cap."""
     import pyarrow.parquet as pq
 
     from ..operators.ann import ivf_train_centroids
 
-    t = pq.read_table(path, columns=["vec_id", "embedding"])
-    cents = ivf_train_centroids(
-        t.column("vec_id").to_pylist(),
-        t.column("embedding").to_pylist(),
-        k=8, max_iter=3, seed=7,
-    )
+    f = pq.ParquetFile(path)
+    ids: list = []
+    vecs: list = []
+    for batch in f.iter_batches(batch_size=8192,
+                                columns=["vec_id", "embedding"]):
+        ids.extend(batch.column("vec_id").to_pylist())
+        vecs.extend(batch.column("embedding").to_pylist())
+        if len(ids) >= max_read_rows:
+            ids, vecs = ids[:max_read_rows], vecs[:max_read_rows]
+            break
+    cents = ivf_train_centroids(ids, vecs, k=8, max_iter=3, seed=7)
     return tuple(tuple(c) for c in cents)
 
 

@@ -93,6 +93,11 @@ def main() -> int:
     ap.add_argument("--min-thr8", type=float, default=27.5)
     ap.add_argument("--max-sec8", type=float, default=80.0,
                     help="abort attempt if the 8-core side exceeds this")
+    ap.add_argument("--max-sec2", type=float, default=240.0,
+                    help="reject the pair if the 2-core side exceeds this: "
+                    "contention that slows ONLY the 2-core side would "
+                    "inflate efficiency, so a slow side2 is invalid even "
+                    "though it helps the number (calm side2 is ~215 s)")
     ap.add_argument("--max-attempts", type=int, default=10)
     ap.add_argument("--retry-wait", type=float, default=90.0)
     ap.add_argument("--out", default=os.path.join(REPO, "scaling_evidence_r3.jsonl"))
@@ -139,8 +144,11 @@ def main() -> int:
         rec["side2"] = run_side(2, args.n_convs, args.repeats)
         post2 = cpu_probe()
         rec["probe_post_2core"] = post2
-        if not probe_ok(post2, args):
-            rec["outcome"] = "contended_during_2core"
+        if not probe_ok(post2, args) or rec["side2"]["sec"] > args.max_sec2:
+            rec["outcome"] = (
+                "contended_during_2core" if not probe_ok(post2, args)
+                else "slow_2core_side_rejected"
+            )
             emit(rec)
             time.sleep(args.retry_wait)
             continue

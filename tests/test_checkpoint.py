@@ -116,3 +116,23 @@ def test_broadcast_factory_end_to_end(spark, tmp_path):
         for r in extract_mentions(spark.createDataFrame(sample)).collect()
     }
     assert got != default and len(got) < len(default)
+
+
+def test_pipeline_runs_from_checkpoint(spark, tmp_path):
+    """PipelineConfig.checkpoint_dir drives the full pipeline's tag UDF
+    from broadcast checkpointed weights."""
+    from pytorch_bert_bilstm_crf_ner_spark.plans.pipeline import (
+        PipelineConfig,
+        run_pipeline,
+    )
+
+    t = DeterministicTagger()
+    state_dict(t)["linear_b"][0] += 4.0  # O-biased: tags fewer mentions
+    ckpt = str(tmp_path / "ckpt")
+    save_tagger(t, ckpt)
+
+    st_ck = run_pipeline(spark, SF_DIR, PipelineConfig(checkpoint_dir=ckpt))
+    st_def = run_pipeline(spark, SF_DIR, PipelineConfig())
+    n_ck = st_ck["mentions"].count()
+    n_def = st_def["mentions"].count()
+    assert 0 < n_ck < n_def
