@@ -72,14 +72,49 @@ def settle_loadavg(max_load: float, timeout: float = 180.0) -> float:
         time.sleep(10)
 
 
-def run_side(cores: int, n_convs: int, repeats: int) -> dict:
+def mini_probe() -> float:
+    """One 2-process probe sample (~1.3 s calm).  Used DURING a side: the
+    side's JVM occupies at most 8 of 32 vCPUs, so on a calm box this
+    reads near full speed; a host burst drags it down immediately —
+    catching contention that before/after brackets miss (attempt 35: all
+    six brackets calm, yet side2 read 260 s from a mid-run burst)."""
+    import concurrent.futures as cf
+
+    with cf.ProcessPoolExecutor(2) as ex:
+        t0 = time.time()
+        list(ex.map(_probe_work, range(2)))
+        return round(2 / (time.time() - t0), 2)
+
+
+def run_side(cores: int, n_convs: int, repeats: int,
+             monitor_interval: float = 15.0) -> dict:
+    import threading
+
     env = dict(os.environ, SPARK_GRAFT_AQE="false", SPARK_GRAFT_PREAGG="1")
-    out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py"), "--scaling-side",
-         str(cores), str(n_convs), str(repeats)],
-        capture_output=True, text=True, env=env, cwd=REPO, check=True,
-    )
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    samples: list[float] = []
+    stop = threading.Event()
+
+    def monitor() -> None:
+        time.sleep(monitor_interval)
+        while not stop.is_set():
+            samples.append(mini_probe())
+            stop.wait(monitor_interval)
+
+    th = threading.Thread(target=monitor, daemon=True)
+    th.start()
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py"), "--scaling-side",
+             str(cores), str(n_convs), str(repeats)],
+            capture_output=True, text=True, env=env, cwd=REPO, check=True,
+        )
+    finally:
+        stop.set()
+        th.join(timeout=5)
+    side = json.loads(out.stdout.strip().splitlines()[-1])
+    side["inflight_thr2"] = samples
+    side["inflight_min_thr2"] = min(samples) if samples else None
+    return side
 
 
 def main() -> int:
@@ -93,6 +128,9 @@ def main() -> int:
     ap.add_argument("--min-thr8", type=float, default=27.5)
     ap.add_argument("--max-sec8", type=float, default=80.0,
                     help="abort attempt if the 8-core side exceeds this")
+    ap.add_argument("--min-inflight-thr2", type=float, default=5.8,
+                    help="reject a side if any DURING-run probe sample "
+                    "falls below this (calm ~7-8, bursts 2-5)")
     ap.add_argument("--max-sec2", type=float, default=240.0,
                     help="reject the pair if the 2-core side exceeds this: "
                     "contention that slows ONLY the 2-core side would "
@@ -126,7 +164,10 @@ def main() -> int:
         rec["side8"] = run_side(8, args.n_convs, args.repeats)
         post8 = cpu_probe()
         rec["probe_post_8core"] = post8
-        if not probe_ok(post8, args) or rec["side8"]["sec"] > args.max_sec8:
+        s8 = rec["side8"]
+        if (not probe_ok(post8, args) or s8["sec"] > args.max_sec8
+                or (s8["inflight_min_thr2"] is not None
+                    and s8["inflight_min_thr2"] < args.min_inflight_thr2)):
             rec["outcome"] = "contended_during_8core"
             emit(rec)
             time.sleep(args.retry_wait)
@@ -144,10 +185,13 @@ def main() -> int:
         rec["side2"] = run_side(2, args.n_convs, args.repeats)
         post2 = cpu_probe()
         rec["probe_post_2core"] = post2
-        if not probe_ok(post2, args) or rec["side2"]["sec"] > args.max_sec2:
+        s2 = rec["side2"]
+        if (not probe_ok(post2, args) or s2["sec"] > args.max_sec2
+                or (s2["inflight_min_thr2"] is not None
+                    and s2["inflight_min_thr2"] < args.min_inflight_thr2)):
             rec["outcome"] = (
-                "contended_during_2core" if not probe_ok(post2, args)
-                else "slow_2core_side_rejected"
+                "slow_2core_side_rejected" if s2["sec"] > args.max_sec2
+                else "contended_during_2core"
             )
             emit(rec)
             time.sleep(args.retry_wait)
