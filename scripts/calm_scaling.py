@@ -128,6 +128,9 @@ def main() -> int:
     ap.add_argument("--min-thr8", type=float, default=27.5)
     ap.add_argument("--max-sec8", type=float, default=80.0,
                     help="abort attempt if the 8-core side exceeds this")
+    ap.add_argument("--max-eff", type=float, default=1.0,
+                    help="reject pairs reading above this (superlinear = "
+                    "anomalous window on one side, not real scaling)")
     ap.add_argument("--min-inflight-thr2", type=float, default=5.8,
                     help="reject a side if any DURING-run probe sample "
                     "falls below this (calm ~7-8, bursts 2-5)")
@@ -165,9 +168,11 @@ def main() -> int:
         post8 = cpu_probe()
         rec["probe_post_8core"] = post8
         s8 = rec["side8"]
-        if (not probe_ok(post8, args) or s8["sec"] > args.max_sec8
-                or (s8["inflight_min_thr2"] is not None
-                    and s8["inflight_min_thr2"] < args.min_inflight_thr2)):
+        # The 8-core side is gated on WALL TIME alone (brackets/in-flight
+        # still recorded): contention here only DEFLATES efficiency, so a
+        # side8 at calm-speed wall time is valid evidence regardless of
+        # probe wobble, and the eff >= target bar rejects slow ones anyway.
+        if s8["sec"] > args.max_sec8:
             rec["outcome"] = "contended_during_8core"
             emit(rec)
             time.sleep(args.retry_wait)
@@ -200,9 +205,14 @@ def main() -> int:
         eff = (rec["side8"]["turns_per_sec"]
                / rec["side2"]["turns_per_sec"]) / 4
         rec["efficiency_2_to_8"] = round(eff, 3)
-        rec["outcome"] = (
-            "CALM_PAIR_OK" if eff >= args.target else "calm_pair_below_target"
-        )
+        if eff > args.max_eff:
+            # superlinear readings mean one side caught an anomalous
+            # window (e.g. a lucky-fast 8-core run) — not honest evidence
+            rec["outcome"] = "anomalous_pair_rejected"
+        elif eff >= args.target:
+            rec["outcome"] = "CALM_PAIR_OK"
+        else:
+            rec["outcome"] = "calm_pair_below_target"
         emit(rec)
         if rec["outcome"] == "CALM_PAIR_OK":
             return 0
