@@ -320,6 +320,15 @@ def _dot_ab():
     )
 
 
+def auto_n_planes(n: int) -> int:
+    """Bucket-count sizing shared by the Spark plan AND the SQL twin
+    generator (both must derive the same value from the same row count or
+    their LSH candidate sets desync): ~60 vectors per bucket, floor 3."""
+    import math
+
+    return max(3, int(math.floor(math.log2(max(n, 1) / 60)))) if n > 60 else 3
+
+
 def embedding_neardup_pairs(embeddings: DataFrame,
                             threshold: float = 0.95,
                             method: str = "lsh",
@@ -350,8 +359,6 @@ def embedding_neardup_pairs(embeddings: DataFrame,
     they fall back to one ``count()`` / one ``head(1)`` (empty input
     yields an empty pair frame rather than a TypeError).
     """
-    import math
-
     a = _with_norm(embeddings, "a")
     b = _with_norm(embeddings, "b")
     if method == "brute":
@@ -362,7 +369,7 @@ def embedding_neardup_pairs(embeddings: DataFrame,
         if n_planes is None:
             if n is None:
                 n = embeddings.count()
-            n_planes = max(3, int(math.floor(math.log2(max(n, 1) / 60)))) if n > 60 else 3
+            n_planes = auto_n_planes(n)
         if dim is None:
             head = embeddings.select("embedding").head(1)
             if not head:
