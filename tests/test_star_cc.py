@@ -1,0 +1,128 @@
+"""Large-star/small-star connected components (adversarial long-chain
+graphs): same answers as min-label propagation / the pure-python
+union-find on the same inputs, but O(log n) rounds instead of
+O(diameter) — the scale story for near-dup chains (A~B~C~...) that
+defeat label propagation's round budget."""
+
+from __future__ import annotations
+
+import pytest
+
+from pytorch_bert_bilstm_crf_ner_spark.core.entities import (
+    connected_components_py,
+)
+from pytorch_bert_bilstm_crf_ner_spark.operators.canonicalize import (
+    connected_components,
+)
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(
+        [(int(a), int(b)) for a, b in pairs], "src BIGINT, dst BIGINT"
+    )
+
+
+def _comp_map(df):
+    return {r["id"]: r["component"] for r in df.collect()}
+
+
+def _expected(pairs):
+    ids = sorted({v for e in pairs for v in e})
+    return connected_components_py(ids, pairs)
+
+
+FIXTURES = {
+    # the adversarial shape: one long chain
+    "path": [(i, i + 1) for i in range(60)],
+    # chain with ids NOT in walk order (min sits mid-chain)
+    "shuffled_path": [(i * 7919 % 101, (i + 1) * 7919 % 101) for i in range(100)],
+    # two components + a triangle + a self-loop + duplicate edges
+    "mixed": [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (12, 10),
+              (5, 5), (1, 2), (2, 1), (20, 21)],
+    # star (already the converged shape)
+    "star": [(0, i) for i in range(1, 30)],
+    # binary-tree-ish
+    "tree": [(i, 2 * i + 1) for i in range(30)] + [(i, 2 * i + 2) for i in range(30)],
+}
+
+
+@pytest.mark.parametrize("name", sorted(FIXTURES))
+def test_star_matches_union_find(spark, name):
+    pairs = FIXTURES[name]
+    got = _comp_map(
+        connected_components(_edges_df(spark, pairs), max_iter=50,
+                             algorithm="star")
+    )
+    assert got == _expected(pairs)
+
+
+def test_min_label_matches_star_and_union_find(spark):
+    """Both distributed algorithms agree with each other AND the python
+    union-find on the same (short-diameter) input."""
+    pairs = FIXTURES["mixed"]
+    edges = _edges_df(spark, pairs)
+    want = _expected(pairs)
+    assert _comp_map(connected_components(edges, max_iter=25)) == want
+    assert _comp_map(connected_components(edges, algorithm="star")) == want
+
+
+def test_star_handles_isolated_vertices(spark):
+    edges = _edges_df(spark, [(1, 2)])
+    verts = spark.createDataFrame([(i,) for i in range(5)], "id BIGINT")
+    got = _comp_map(
+        connected_components(edges, vertices=verts, algorithm="star")
+    )
+    assert got == {0: 0, 1: 1, 2: 1, 3: 3, 4: 4}
+
+
+def test_star_round_count_on_long_path(spark):
+    """300-node path: min-label would need 299 rounds (it RAISES at a
+    10-round budget instead of returning wrong partial labels); star
+    converges in O(log n) — pinned <= 12 rounds observed (9 actual)."""
+    edges = _edges_df(spark, [(i, i + 1) for i in range(299)])
+    stats: dict = {}
+    got = _comp_map(
+        connected_components(edges, max_iter=50, algorithm="star", stats=stats)
+    )
+    assert got == {i: 0 for i in range(300)}
+    assert stats["rounds"] <= 12, stats
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=10)
+
+
+def test_star_persist_mode_equivalence(spark):
+    """persist mode keeps lineage, so plans grow multiplicatively per
+    round — correct (and tested) on SHORT loops like this 4-round
+    fixture; deep graphs must use checkpoint/local_checkpoint."""
+    pairs = FIXTURES["mixed"]
+    got = _comp_map(
+        connected_components(
+            _edges_df(spark, pairs), max_iter=50, algorithm="star",
+            materialize="persist",
+        )
+    )
+    assert got == _expected(pairs)
+
+
+def test_star_checkpoint_mode_deep_graph(spark, tmp_path):
+    """Reliable-checkpoint mode: flat plans + fault tolerance — the
+    long-loop materialization; equivalent on a deep shuffled path."""
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    pairs = FIXTURES["shuffled_path"]
+    got = _comp_map(
+        connected_components(
+            _edges_df(spark, pairs), max_iter=50, algorithm="star",
+            materialize="checkpoint",
+        )
+    )
+    assert got == _expected(pairs)
+
+
+def test_min_label_rounds_tracked(spark):
+    stats: dict = {}
+    connected_components(
+        _edges_df(spark, FIXTURES["star"]), max_iter=25, stats=stats
+    )
+    # star graph: one propagation round + one fixed-point confirmation
+    assert 1 <= stats["rounds"] <= 3
