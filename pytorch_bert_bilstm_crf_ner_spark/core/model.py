@@ -83,6 +83,14 @@ class TaggerConfig:
     # "three_tier" — the reference serving cutter `cut.py:24-76`
     # (comma split + strict-< repack; reference quirks apply: text may be
     # silently dropped, so the concat invariant does NOT hold).
+    # OFFSET DRIFT in "three_tier": tag_batch rebases each piece's
+    # mention offsets by CUMULATIVE EMITTED length (the reference's
+    # `merge_with_loc`, `scripts/server.py:74-85`), so after any silently
+    # dropped text every later mention's `start` is shifted LEFT relative
+    # to the ORIGINAL turn text — (conv_id, turn_idx, start) joins and
+    # text[start:start+len] slices against the raw turn no longer line
+    # up.  That is reference-faithful serving behavior, not a safe
+    # default; keep "hard_chunk" when downstream consumes offsets.
     long_piece_cut: str = "hard_chunk"
 
 

@@ -69,9 +69,9 @@ def cosine_topk_sql(n_queries: int = 10, k: int = 5) -> str:
 WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {n_queries}),
 scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         ROUND(list_dot_product(q.embedding, c.embedding)
-               / (sqrt(list_dot_product(q.embedding, q.embedding))
-                  * sqrt(list_dot_product(c.embedding, c.embedding))), 4) AS cos_sim
+         ROUND(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))), 4) AS cos_sim
   FROM q JOIN embeddings c ON q.vec_id <> c.vec_id
 )
 SELECT query_id, neighbor_id, cos_sim,
@@ -84,16 +84,24 @@ WHERE rank <= {k}
 
 
 def lsh_buckets(embeddings: DataFrame, dim: int = 64, n_planes: int = 8,
-                n_tables: int = 4, seed: int = 7) -> DataFrame:
-    """(vec_id, table_id, bucket): sign-LSH bucket per hash table."""
-    rng = np.random.RandomState(seed)
-    planes = rng.normal(size=(n_tables, n_planes, dim)).astype(float)
+                n_tables: int = 4, seed: int = 7,
+                plane_rows: list[tuple[int, int, list[float]]] | None = None,
+                ) -> DataFrame:
+    """(vec_id, table_id, bucket): sign-LSH bucket per hash table.
+
+    ``plane_rows`` swaps in externally generated hyperplanes (e.g. the
+    md5-derived, SQL-regenerable `dedup.md5_plane_rows`); default is the
+    seeded-numpy Gaussian family whose twin inlines literals
+    (:func:`lsh_cosine_topk_sql`)."""
+    if plane_rows is None:
+        rng = np.random.RandomState(seed)
+        planes = rng.normal(size=(n_tables, n_planes, dim)).astype(float)
+        plane_rows = [
+            (int(t), int(p), [float(x) for x in planes[t, p]])
+            for t in range(n_tables)
+            for p in range(n_planes)
+        ]
     spark = embeddings.sparkSession
-    plane_rows = [
-        (int(t), int(p), [float(x) for x in planes[t, p]])
-        for t in range(n_tables)
-        for p in range(n_planes)
-    ]
     planes_df = spark.createDataFrame(
         plane_rows, "table_id INT, plane_id INT, plane ARRAY<DOUBLE>"
     )
@@ -378,9 +386,9 @@ WITH cents(centroid_id, centroid) AS (VALUES
 ),
 cscore AS (
   SELECT e.vec_id, ct.centroid_id,
-         list_dot_product(e.embedding, ct.centroid)
-         / (sqrt(list_dot_product(e.embedding, e.embedding))
-            * sqrt(list_dot_product(ct.centroid, ct.centroid))) AS score
+         list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(ct.centroid AS DOUBLE[]))
+         / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+            * sqrt(list_dot_product(CAST(ct.centroid AS DOUBLE[]), CAST(ct.centroid AS DOUBLE[])))) AS score
   FROM embeddings e CROSS JOIN cents ct
 ),
 assigned AS (
@@ -402,9 +410,9 @@ cand AS (
 ),
 scored AS (
   SELECT cand.q_id AS query_id, cand.c_id AS neighbor_id,
-         ROUND(list_dot_product(q.embedding, c.embedding)
-               / (sqrt(list_dot_product(q.embedding, q.embedding))
-                  * sqrt(list_dot_product(c.embedding, c.embedding))), 4)
+         ROUND(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))), 4)
            AS cos_sim
   FROM cand
   JOIN embeddings q ON q.vec_id = cand.q_id
@@ -440,7 +448,7 @@ WITH planes(table_id, plane_id, plane) AS (VALUES
 ),
 sb AS (
   SELECT e.vec_id, p.table_id, p.plane_id,
-         CASE WHEN list_dot_product(e.embedding, p.plane) > 0
+         CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(p.plane AS DOUBLE[])) > 0
               THEN 1 ELSE 0 END AS bit
   FROM embeddings e CROSS JOIN planes p
 ),
@@ -461,9 +469,9 @@ cand AS (
 ),
 scored AS (
   SELECT cand.q_id AS query_id, cand.c_id AS neighbor_id,
-         ROUND(list_dot_product(q.embedding, c.embedding)
-               / (sqrt(list_dot_product(q.embedding, q.embedding))
-                  * sqrt(list_dot_product(c.embedding, c.embedding))), 4)
+         ROUND(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))), 4)
            AS cos_sim
   FROM cand
   JOIN embeddings q ON q.vec_id = cand.q_id

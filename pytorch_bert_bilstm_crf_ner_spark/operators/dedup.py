@@ -322,11 +322,40 @@ def _dot_ab():
 
 def auto_n_planes(n: int) -> int:
     """Bucket-count sizing shared by the Spark plan AND the SQL twin
-    generator (both must derive the same value from the same row count or
-    their LSH candidate sets desync): ~60 vectors per bucket, floor 3."""
-    import math
+    (both must derive the same value from the same row count or their LSH
+    candidate sets desync): ~60 vectors per bucket, floor 3.
 
-    return max(3, int(math.floor(math.log2(max(n, 1) / 60)))) if n > 60 else 3
+    PURE-INTEGER formula — ``bit_length(n // 60) - 1`` equals
+    ``floor(log2(n / 60))`` exactly (proof: for x >= 1, 2^k <= x < 2^(k+1)
+    iff 2^k <= floor(x) < 2^(k+1), both bounds being integers), so the
+    DuckDB twin can compute the identical value in SQL as
+    ``LENGTH(printf('%b', n // 60)) - 1`` with no float-log boundary
+    risk on either engine."""
+    return max(3, (n // 60).bit_length() - 1) if n > 60 else 3
+
+
+def md5_plane_rows(dim: int, n_planes: int, n_tables: int = 16,
+                   seed: int = 7) -> list[tuple[int, int, list[float]]]:
+    """(table_id, plane_id, plane) sign-LSH hyperplanes derived from md5 —
+    the engine-portable alternative to seeded-numpy planes: DuckDB can
+    regenerate the IDENTICAL values in pure SQL (see
+    :func:`embedding_neardup_lsh_sql`), so the twin's candidate set
+    matches the Spark plan's at ANY scale factor by construction, with no
+    literal-inlining step that could desync.  Component (t, p, d) =
+    ``(int(md5(f"{seed}|{t}|{p}|{d}")[:8], 16) / 4294967295) * 2 - 1``
+    (uniform in [-1, 1]; direction-uniformity is looser than Gaussian but
+    the exact re-verify keeps precision at 1.0 and pytest pins recall)."""
+    import hashlib
+
+    def val(t: int, p: int, d: int) -> float:
+        v = int(hashlib.md5(f"{seed}|{t}|{p}|{d}".encode()).hexdigest()[:8], 16)
+        return (v / 4294967295) * 2 - 1
+
+    return [
+        (t, p, [val(t, p, d) for d in range(dim)])
+        for t in range(n_tables)
+        for p in range(n_planes)
+    ]
 
 
 def embedding_neardup_pairs(embeddings: DataFrame,
@@ -378,8 +407,11 @@ def embedding_neardup_pairs(embeddings: DataFrame,
                     [], "vec_a BIGINT, vec_b BIGINT, cos_sim DOUBLE"
                 )
             dim = len(head[0]["embedding"])
-        buckets = lsh_buckets(embeddings, dim=dim, n_planes=n_planes,
-                              n_tables=n_tables, seed=seed)
+        buckets = lsh_buckets(
+            embeddings, dim=dim, n_planes=n_planes, n_tables=n_tables,
+            seed=seed,
+            plane_rows=md5_plane_rows(dim, n_planes, n_tables, seed),
+        )
         cand = (
             buckets.alias("x")
             .join(buckets.alias("y"), ["table_id", "bucket"])
@@ -402,17 +434,92 @@ def embedding_neardup_pairs(embeddings: DataFrame,
 
 
 def embedding_neardup_sql(threshold: float = 0.95) -> str:
+    """Brute-force EXACT twin — kept as the pytest recall oracle; the
+    registered twin is :func:`embedding_neardup_lsh_sql`, which computes
+    the same candidate set as the Spark plan by construction."""
     # filter on the ROUNDED similarity — the same quantity the Spark side
     # filters — so boundary values land identically in both engines
     return f"""
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       ROUND(list_dot_product(a.embedding, b.embedding)
-             / (sqrt(list_dot_product(a.embedding, a.embedding))
-                * sqrt(list_dot_product(b.embedding, b.embedding))), 4) AS cos_sim
+       ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 4) AS cos_sim
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE ROUND(list_dot_product(a.embedding, b.embedding)
-      / (sqrt(list_dot_product(a.embedding, a.embedding))
-         * sqrt(list_dot_product(b.embedding, b.embedding))), 4) >= {threshold}
+WHERE ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+      / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+         * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 4) >= {threshold}
+"""
+
+
+def embedding_neardup_lsh_sql(threshold: float = 0.95, n_tables: int = 16,
+                              seed: int = 7) -> str:
+    """DuckDB twin of :func:`embedding_neardup_pairs` (lsh route) that
+    computes THE SAME LSH candidate set as the Spark plan AT ANY SCALE
+    FACTOR by construction (round-3 VERDICT #2) — nothing data-dependent
+    is frozen at twin-generation time:
+
+    - ``n_planes`` is derived IN SQL from ``COUNT(*)`` via the
+      pure-integer log2 (``LENGTH(printf('%b', n // 60)) - 1`` ==
+      :func:`auto_n_planes`, see its proof note);
+    - the hyperplanes are regenerated IN SQL from md5 — bit-identical to
+      :func:`md5_plane_rows` because both reduce to the same integer-
+      from-hex and the same IEEE-double ``(v / 4294967295) * 2 - 1``;
+    - sign bits, ``SUM(bit << plane_id)`` buckets, the bucket equi-join
+      and the exact re-verify mirror the Spark operators expression by
+      expression (ROUND to 4 before the threshold filter).
+
+    ``range(0, 63)``/filter bounds plane_id generation (n_planes = 63
+    would need n > 60 * 2^63 rows)."""
+    return f"""
+WITH params AS (
+  SELECT COUNT(*) AS n, COALESCE(MIN(len(embedding)), 0) AS dim
+  FROM embeddings
+),
+np AS (
+  SELECT CASE WHEN n > 60
+              THEN GREATEST(3, LENGTH(printf('%b', n // 60)) - 1)
+              ELSE 3 END AS n_planes,
+         dim
+  FROM params
+),
+planes AS (
+  SELECT t.range AS table_id, p.range AS plane_id,
+         list_transform(range(0, np.dim), d ->
+           (CAST(('0x' || substr(md5('{seed}|' || t.range || '|'
+                                 || p.range || '|' || d), 1, 8)) AS BIGINT)
+            / 4294967295e0) * 2 - 1) AS plane
+  FROM np, range(0, {n_tables}) t, range(0, 63) p
+  WHERE p.range < np.n_planes
+),
+sb AS (
+  SELECT e.vec_id, p.table_id, p.plane_id,
+         CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(p.plane AS DOUBLE[])) > 0
+              THEN 1 ELSE 0 END AS bit
+  FROM embeddings e CROSS JOIN planes p
+),
+buckets AS (
+  SELECT vec_id, table_id,
+         SUM(CAST(bit AS BIGINT) << plane_id) AS bucket
+  FROM sb GROUP BY vec_id, table_id
+),
+cand AS (
+  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+  FROM buckets x JOIN buckets y
+    ON x.table_id = y.table_id AND x.bucket = y.bucket
+   AND x.vec_id < y.vec_id
+)
+SELECT cand.vec_a, cand.vec_b,
+       ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 4)
+         AS cos_sim
+FROM cand
+JOIN embeddings a ON a.vec_id = cand.vec_a
+JOIN embeddings b ON b.vec_id = cand.vec_b
+WHERE ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+      / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+         * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 4)
+      >= {threshold}
 """
 
 
@@ -446,11 +553,12 @@ def neardup_clusters(embeddings: DataFrame, threshold: float = 0.95,
 
 
 def neardup_clusters_sql(threshold: float = 0.95) -> str:
-    """Recursive-CTE twin: min-label propagation over the brute-force
-    pair list (LSH recall at the registered threshold is pinned to 1.0 on
-    the oracle data by pytest, so the twins agree)."""
+    """Recursive-CTE twin: min-label propagation over the SAME
+    LSH-candidates + exact-re-verify pair list the Spark plan computes
+    (:func:`embedding_neardup_lsh_sql`), so equality no longer depends on
+    LSH recall being 1.0 at the compared scale factor."""
     return f"""
-WITH RECURSIVE pairs AS ({embedding_neardup_sql(threshold)}),
+WITH RECURSIVE pairs AS ({embedding_neardup_lsh_sql(threshold)}),
 edges AS (
   SELECT vec_a AS src, vec_b AS dst FROM pairs
   UNION

@@ -51,6 +51,34 @@ def test_roundtrip_loaded_weights_are_authoritative(tmp_path):
     )
 
 
+@pytest.mark.parametrize("feature_layer", ["none", "bilstm", "idcnn"])
+@pytest.mark.parametrize("mid_dim", [None, 8])
+def test_roundtrip_matrix_every_family(tmp_path, feature_layer, mid_dim):
+    """Every (feature layer x mid_linear) combination round-trips with
+    MUTATED weights driving the post-load outputs: a tensor missing from
+    state_dict() would keep its seeded init after load and change the
+    decoded spans — so a new layer can't silently fall out of the
+    checkpoint format (round-3 VERDICT #7)."""
+    cfg = TaggerConfig(feature_layer=feature_layer, mid_dim=mid_dim)
+    t = DeterministicTagger(cfg)
+    sd = state_dict(t)
+    # the families must actually differ in their tensor sets
+    assert ("mid_w" in sd) == (mid_dim is not None)
+    assert ("feature.w_ih" in sd) == (feature_layer == "bilstm")
+    assert ("feature.proj" in sd) == (feature_layer == "idcnn")
+    for name, arr in sd.items():
+        arr += 0.01 * (hash(name) % 7 + 1)
+    trained = [tuple(r) for r in t.tag_batch(TEXTS)]
+
+    ckpt = str(tmp_path / "ckpt")
+    save_tagger(t, ckpt)
+    loaded = load_tagger(ckpt)
+    assert loaded.cfg == cfg
+    for name, arr in state_dict(loaded).items():
+        np.testing.assert_array_equal(arr, sd[name])
+    assert [tuple(r) for r in loaded.tag_batch(TEXTS)] == trained
+
+
 def test_roundtrip_idcnn_family(tmp_path):
     cfg = TaggerConfig(feature_layer="idcnn")
     t = DeterministicTagger(cfg)
