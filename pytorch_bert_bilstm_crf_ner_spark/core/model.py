@@ -143,6 +143,47 @@ class DeterministicTagger:
             r"(?<![a-z0-9])(" + "|".join(re.escape(a) for a in alts) + r")(?![a-z0-9])"
         )
         self._gaz_type = dict(c.gazetteer)
+        # cache slot for the whole-vocab emission table (see _char_table)
+        self._char_em_cache: tuple[bytes, np.ndarray] | None = None
+
+    def _classify(self, h: np.ndarray) -> np.ndarray:
+        """M4 mid_linear + ReLU (`bert_ner_model.py:276`), then the tag
+        classifier — shared by the flat and padded paths."""
+        if self.mid_w is not None:
+            h = np.maximum(h @ self.mid_w + self.mid_b, 0.0)
+        return h @ self.linear_w + self.linear_b
+
+    def _char_table(self) -> np.ndarray:
+        """Whole-vocab pre-gazetteer emission table for the feature-None
+        family: ONE fixed-shape (vocab, emb)@(emb, T) GEMM, then a pure
+        row gather per batch.  Besides dropping a GEMM from every batch,
+        the fixed shape makes each char's emission vector bit-identical
+        regardless of batch size/content (BLAS kernel selection varies
+        with the M dimension) — the SQL Viterbi twin
+        (`plans/viterbi_twin.py`) inlines rows of THIS table as literals
+        and relies on that invariance.
+
+        The cache is keyed on a digest of the weights it derives from, so
+        in-place weight updates (checkpoint load, test mutation through
+        `state_dict` views) are always reflected — the digest costs
+        ~0.5 ms against a whole Arrow batch of model work."""
+        import hashlib
+
+        h = hashlib.md5(self.embedding.tobytes())
+        h.update(self.linear_w.tobytes())
+        h.update(self.linear_b.tobytes())
+        if self.mid_w is not None:
+            h.update(self.mid_w.tobytes())
+            h.update(self.mid_b.tobytes())
+        key = h.digest()
+        if self._char_em_cache is None or self._char_em_cache[0] != key:
+            c = self.cfg
+            tbl = (
+                c.noise_scale * np.tanh(self._classify(self.embedding))
+            ).astype(np.float32)
+            tbl[:, 0] += np.float32(c.o_bias)  # a+b == b+a bitwise in IEEE
+            self._char_em_cache = (key, tbl)
+        return self._char_em_cache[1]
 
     # ------------------------------------------------------------------ #
 
@@ -184,32 +225,23 @@ class DeterministicTagger:
         ids = np.frombuffer(flat.encode("utf-32-le"), dtype=np.uint32) % c.vocab_size
         B, Lmax = len(texts), int(lengths.max())
         offsets = np.concatenate(([0], np.cumsum(lengths)))
-        def classify(h):
-            # M4 mid_linear + ReLU (`bert_ner_model.py:276`), then the tag
-            # classifier — shared by the flat and padded paths
-            if self.mid_w is not None:
-                h = np.maximum(h @ self.mid_w + self.mid_b, 0.0)
-            return h @ self.linear_w + self.linear_b
-
-        if self.feature is None:
-            # fast path (M5): one flat gather + matmul for the whole batch
-            logits = classify(self.embedding[ids])
-        else:
+        char_tbl = self._char_table() if self.feature is None else None
+        if self.feature is not None:
             # M2/M3 path: padded (B, Lmax, D) through the feature layer
             emb = np.zeros((B, Lmax, self.cfg.emb_dim), dtype=np.float32)
             for b in range(B):
                 L = lengths[b]
                 emb[b, :L] = self.embedding[ids[offsets[b] : offsets[b] + L]]
             feats = self.feature(emb)
-            logits_pad = classify(feats)
+            logits_pad = self._classify(feats)
         em = np.zeros((B, Lmax, self.num_tags), dtype=np.float32)
         em[:, :, 0] = c.o_bias
         for b, text in enumerate(texts):
             L = lengths[b]
             if self.feature is None:
-                em[b, :L, :] += (
-                    c.noise_scale * np.tanh(logits[offsets[b] : offsets[b] + L])
-                ).astype(np.float32)
+                # fast path (M5): pure gather from the whole-vocab table
+                # (o_bias already folded into column 0)
+                em[b, :L, :] = char_tbl[ids[offsets[b] : offsets[b] + L]]
             else:
                 em[b, :L, :] += (
                     c.noise_scale * np.tanh(logits_pad[b, :L])

@@ -39,7 +39,16 @@ def viterbi_decode_batch(
     list of per-row best tag-id paths (python ints), row b has
     ``lengths[b]`` entries.
     """
-    emissions = np.asarray(emissions, dtype=np.float32)
+    # The DP runs in float64 over the float32 inputs: every partial sum
+    # is then a plain IEEE-double addition chain that ANSI SQL reproduces
+    # bit-for-bit — the kg_mentions DuckDB twin (`plans/viterbi_twin.py`)
+    # recomputes this exact recursion, so argmax decisions (ties -> first
+    # index on both engines) agree exactly.  A float32 DP would force the
+    # twin to simulate float32 rounding after every add.
+    emissions = np.asarray(emissions, dtype=np.float64)
+    start_transitions = np.asarray(start_transitions, dtype=np.float64)
+    transitions = np.asarray(transitions, dtype=np.float64)
+    end_transitions = np.asarray(end_transitions, dtype=np.float64)
     lengths = np.asarray(lengths, dtype=np.int64)
     B, Lmax, T = emissions.shape
     if np.any(lengths < 1) or np.any(lengths > Lmax):

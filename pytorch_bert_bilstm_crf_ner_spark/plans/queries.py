@@ -1066,10 +1066,24 @@ ORACLE_SQL = {
     "media_features": Q_MEDIA_FEATURES_SQL,
     "training_features": _training_features_sql(),
     "augmented_corpus": _augmented_corpus_sql(),
-    # Only kg_mentions / kg_triples (Arrow-batched CRF tagging UDF +
-    # Viterbi — genuinely not ANSI SQL) remain rows-only; they are pinned
-    # exactly by the pytest parity suite instead.
 }
+
+
+def _register_viterbi_twins() -> None:
+    """kg_mentions / kg_triples — the CRF tagging UDF queries, previously
+    rows-only — now have full DuckDB twins: the emission table + CRF
+    parameters are inlined as literals and the Viterbi DP + BIOES FSM are
+    recomputed in SQL (generated chained stages; see
+    `plans/viterbi_twin.py` for the bit-exactness argument and guards)."""
+    from .viterbi_twin import kg_mentions_sql, kg_triples_sql
+
+    ORACLE_SQL["kg_mentions"] = kg_mentions_sql(_TR)
+    ORACLE_SQL["kg_triples"] = kg_triples_sql(
+        _TR, Q_CANONICAL_ENTITIES_SQL, _DICT_SQL
+    )
+
+
+_register_viterbi_twins()
 
 # The driver's hash comparison runs at sf=0.01 and `oracle_sql()` takes no
 # sf_dir, so the IVF twin inlines the quantizer trained on THAT table —
