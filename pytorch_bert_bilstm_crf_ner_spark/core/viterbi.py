@@ -39,16 +39,19 @@ def viterbi_decode_batch(
     list of per-row best tag-id paths (python ints), row b has
     ``lengths[b]`` entries.
     """
-    # The DP runs in float64 over the float32 inputs: every partial sum
-    # is then a plain IEEE-double addition chain that ANSI SQL reproduces
-    # bit-for-bit — the kg_mentions DuckDB twin (`plans/viterbi_twin.py`)
-    # recomputes this exact recursion, so argmax decisions (ties -> first
-    # index on both engines) agree exactly.  A float32 DP would force the
-    # twin to simulate float32 rounding after every add.
-    emissions = np.asarray(emissions, dtype=np.float64)
-    start_transitions = np.asarray(start_transitions, dtype=np.float64)
-    transitions = np.asarray(transitions, dtype=np.float64)
-    end_transitions = np.asarray(end_transitions, dtype=np.float64)
+    # The DP runs in float32 — the UDF's hot loop, and float64 costs
+    # ~50% more wall (2x memory traffic on the (B, T, T) candidate
+    # tensor).  Cross-engine contract with the kg_mentions DuckDB twin
+    # (`plans/viterbi_twin.py`): the twin SIMULATES these float32 adds
+    # exactly with one CAST(... AS REAL) per addition — a float32+float32
+    # sum is exact in IEEE double (24+24 bits < 53), so rounding the
+    # double sum to REAL is the IEEE single addition, bit-for-bit.  Keep
+    # every DP expression a chain of BINARY adds in a fixed order
+    # ((score + trans) + emission), or the twin desyncs.
+    emissions = np.asarray(emissions, dtype=np.float32)
+    start_transitions = np.asarray(start_transitions, dtype=np.float32)
+    transitions = np.asarray(transitions, dtype=np.float32)
+    end_transitions = np.asarray(end_transitions, dtype=np.float32)
     lengths = np.asarray(lengths, dtype=np.int64)
     B, Lmax, T = emissions.shape
     if np.any(lengths < 1) or np.any(lengths > Lmax):

@@ -17,11 +17,14 @@ in DuckDB, bit-for-bit:
   possible match, with an overflow guard), each selected match boosting
   B/I/E (or S) tags; the float32 `base + boost` add is reproduced as
   ``CAST(base + boost AS REAL)`` (exact double sum rounded once).
-- **Viterbi**: `core/viterbi.py` runs its DP in float64 over the float32
-  inputs, so the recursion here — a recursive CTE over positions carrying
-  the 33-wide score list plus per-step backpointers — produces
-  bit-identical IEEE-double sums; argmax ties resolve to the FIRST index
-  on both engines (np.argmax / list_position).
+- **Viterbi**: `core/viterbi.py` runs its DP in float32 (the UDF hot
+  loop; float64 cost ~50% more wall).  The recursion here — generated
+  per-position stages carrying the 33-wide score list plus per-step
+  backpointers — SIMULATES each float32 add exactly with one
+  ``CAST(... AS REAL)`` per addition: a float32+float32 sum is exact in
+  IEEE double (24+24 < 53 mantissa bits), so rounding that double sum to
+  REAL IS the IEEE single addition, bit-for-bit.  Argmax ties resolve to
+  the FIRST index on both engines (np.argmax / list_position).
 - **BIOES FSM** (`core/decode.py::bioes_decode_flat`, with the id-0 ->
   id2ent[1] quirk): the scan-order FSM reduces to a closed form — every
   S position emits, and every B emits iff the first following position
@@ -156,7 +159,7 @@ dp{k} AS MATERIALIZED (
     SELECT p.conv_id, p.turn_idx,
            list_transform(range(0, {T}), j ->
              list_transform(list_zip(p.score, l.tt[j + 1]), x ->
-               (x[1] + x[2]) + e.vec[j + 1])) AS cands
+               CAST(CAST(x[1] + x[2] AS REAL) + e.vec[j + 1] AS REAL))) AS cands
     FROM dp{k - 1} p
     JOIN em e ON e.conv_id = p.conv_id AND e.turn_idx = p.turn_idx
              AND e.k = {k}, lits l)
@@ -260,8 +263,8 @@ lens AS MATERIALIZED (SELECT conv_id, turn_idx, length(text) AS L FROM turns),
 lits AS MATERIALIZED (SELECT {start_lit} AS st, {end_lit} AS en, {tt_lit} AS tt),
 dp1 AS MATERIALIZED (
   SELECT em.conv_id, em.turn_idx,
-         list_transform(range(0, {T}), j -> l.st[j + 1] + em.vec[j + 1])
-           AS score
+         list_transform(range(0, {T}), j ->
+           CAST(l.st[j + 1] + em.vec[j + 1] AS REAL)) AS score
   FROM em, lits l WHERE em.k = 1
 ),{dp_stages_sql},
 fin AS MATERIALIZED (
@@ -269,7 +272,7 @@ fin AS MATERIALIZED (
          list_position(fs, list_max(fs)) - 1 AS last_tag
   FROM (
     SELECT d.conv_id, d.turn_idx, d.L,
-           list_transform(list_zip(d.score, l.en), x -> x[1] + x[2]) AS fs
+           list_transform(list_zip(d.score, l.en), x -> CAST(x[1] + x[2] AS REAL)) AS fs
     FROM ({fin_union}) d, lits l)
 ),{bt_stages_sql},
 bt AS MATERIALIZED (

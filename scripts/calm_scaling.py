@@ -119,6 +119,21 @@ def run_side(cores: int, n_convs: int, repeats: int,
 
 def main() -> int:
     ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="per-round scaling regression guard (VERDICT r3 "
+                    "#6): one gated 2->8 pair at a smaller corpus.  The "
+                    "floor is calibrated to THIS scale, not the 45k-conv "
+                    "0.8 criterion: at 15k convs the fixed session/"
+                    "scheduling overhead (~10s of a ~27s 8-core side) "
+                    "caps calm efficiency near 0.72 (round-4 calibration "
+                    "pair: 0.721 double-bracket-calm; work-only ratio "
+                    "~0.98), while a genuine scaling break reads ~0.48 "
+                    "(round-3 polluted pair) — so 0.70 cleanly separates "
+                    "regression from overhead.  The authoritative >= 0.8 "
+                    "evidence is the full 45k run.  Presets (only for "
+                    "args left at their defaults): n_convs=15000, "
+                    "repeats=1, target=0.70, max_sec8=50, max_sec2=150, "
+                    "max_attempts=6")
     ap.add_argument("--n-convs", type=int, default=45_000)
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--target", type=float, default=0.8)
@@ -141,8 +156,15 @@ def main() -> int:
                     "though it helps the number (calm side2 is ~215 s)")
     ap.add_argument("--max-attempts", type=int, default=10)
     ap.add_argument("--retry-wait", type=float, default=90.0)
-    ap.add_argument("--out", default=os.path.join(REPO, "scaling_evidence_r3.jsonl"))
+    ap.add_argument("--out", default=os.path.join(REPO, "scaling_evidence_r4.jsonl"))
     args = ap.parse_args()
+    if args.quick:
+        quick_presets = {"n_convs": 15_000, "repeats": 1, "target": 0.70,
+                         "max_sec8": 50.0, "max_sec2": 150.0,
+                         "max_attempts": 6}
+        for name, val in quick_presets.items():
+            if getattr(args, name) == ap.get_default(name):
+                setattr(args, name, val)
 
     def emit(rec: dict) -> None:
         print(json.dumps(rec), flush=True)
@@ -151,7 +173,8 @@ def main() -> int:
 
     for attempt in range(1, args.max_attempts + 1):
         rec = {"attempt": attempt, "n_convs": args.n_convs,
-               "repeats": args.repeats, "ts": time.strftime("%F %T"),
+               "repeats": args.repeats, "quick": args.quick,
+               "ts": time.strftime("%F %T"),
                "thresholds": {"min_thr2": args.min_thr2,
                               "min_thr8": args.min_thr8,
                               "max_load": args.max_load}}
