@@ -2,12 +2,13 @@
 
 ``entry(spark)`` runs the flagship KG-construction pipeline on sf0.001;
 ``queries()`` exposes every implemented operator from SURVEY.md §2 as a
-(spark, sf_dir) -> DataFrame callable; ``oracle_sql()`` gives each
-SQL-expressible query its DuckDB twin (tables pre-registered as views).
-SQL-inexpressible stages (Arrow-batched CRF tagging UDF, iterative
-connected components) are registered without a twin — the driver records a
-rows-only check and `tests/test_spark_parity.py` proves them exact against
-the single-process reference oracle.
+(spark, sf_dir) -> DataFrame callable; ``oracle_sql()`` gives EVERY
+registered query its DuckDB twin (tables pre-registered as views) —
+including the Arrow-batched CRF tagging UDF (generated Viterbi-DP SQL,
+`plans/viterbi_twin.py`) and iterative connected components
+(recursive CTE), so all 29 entries are hash-checked; rows-only checks no
+longer exist.  `tests/test_spark_parity.py` additionally proves the
+pipeline exact against the single-process reference oracle.
 """
 
 from __future__ import annotations
@@ -21,8 +22,8 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pytorch_bert_bilstm_crf_ner_spark.plans.queries import (  # noqa: E402
-    ORACLE_SQL,
     SPARK_QUERIES,
+    oracle_sql_dict,
 )
 
 
@@ -62,4 +63,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLE_SQL)
+    """All twins; the ivf entry is derived from the sf_dir the registered
+    ivf query last ran with (see `plans/queries.py::oracle_sql_dict`), so
+    a driver that runs queries before fetching oracles gets matching
+    centroid literals at any comparison scale."""
+    return oracle_sql_dict()

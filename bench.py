@@ -151,6 +151,12 @@ def run_scaling_side(n_convs: int, cores: int,
     from pytorch_bert_bilstm_crf_ner_spark.sources.synth import synth_transcripts
 
     repeats = repeats or int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "3"))
+    # SPARK_GRAFT_SCALE_STAGE=tag times ONLY the model-forward tag stage
+    # (extract_mentions) instead of the full pipeline: the decomposition
+    # evidence for the fixed-overhead argument — the tag stage is the
+    # dominant compute at production scale and its 2->8 ratio isolates
+    # the data path from session/scheduling constants (round-4 VERDICT #1)
+    stage = os.environ.get("SPARK_GRAFT_SCALE_STAGE", "pipeline")
     # SPARK_GRAFT_AQE=false isolates data-path scaling from AQE's per-stage
     # driver re-planning latency (~6s on this sub-minute job; amortized to
     # nothing at production run lengths, where AQE stays on for skew)
@@ -163,24 +169,104 @@ def run_scaling_side(n_convs: int, cores: int,
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000).selectExpr("sum(id)").collect()
     tr = synth_transcripts(spark, n_convs, partitions=cores * 2)
+    if stage == "tag":
+        from pytorch_bert_bilstm_crf_ner_spark.operators.tagging import (
+            extract_mentions,
+        )
+
+        n_turns = tr.count()
+
+        def _run(df):
+            t0 = time.time()
+            out = extract_mentions(df)
+            n = out.count()
+            return time.time() - t0, df.count() if df is not tr else n_turns, n
+    else:
+        def _run(df):
+            return _pipeline_secs(spark, "", transcripts_df=df)
+
     # warm-up: python workers + JIT on a slice, then best-of-N measured
     # runs (the sandbox carries ambient background load; min is the
     # least-contended estimate)
-    _pipeline_secs(spark, "", transcripts_df=tr.limit(5000))
-    runs = [
-        _pipeline_secs(spark, "", transcripts_df=tr) for _ in range(repeats)
-    ]
+    _run(tr.limit(5000))
+    runs = [_run(tr) for _ in range(repeats)]
     sec = min(r[0] for r in runs)
     n_turns, n_triples = runs[0][1], runs[0][2]
     spark.stop()
     return {
         "cores": cores,
+        "stage": stage,
         "sec": round(sec, 2),
         "all_secs": [round(r[0], 2) for r in runs],
         "turns": n_turns,
         "triples": n_triples,
         "turns_per_sec": round(n_turns / sec, 1),
     }
+
+
+def run_cc_bench(cores: int = 8) -> dict:
+    """Star vs min-label connected-components A/B on synthetic edge sets
+    (round-4 VERDICT #6): measures rounds + wall for both algorithms on
+    the two extreme shapes and a mixture, so the per-operator default is
+    a measured choice, not an assertion.
+
+    Shapes: `stars` (200 stars x 50 nodes — the alias-graph shape,
+    diameter 2, min-label's best case); `path_64` / `path_256` (chains —
+    the near-dup drift shape, min-label needs O(diameter) rounds);
+    `star_chain` (100 stars of 50 bridged into a chain — diameter ~201,
+    the realistic corpus near-dup mixture).  min-label runs with
+    max_iter = diameter + 5 so it converges rather than raising; the
+    wall-clock it pays IS the measurement."""
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from pytorch_bert_bilstm_crf_ner_spark.operators.canonicalize import (
+        connected_components,
+    )
+    from pytorch_bert_bilstm_crf_ner_spark.plans.session import get_spark
+
+    def path_edges(n, base=0):
+        return [(base + i, base + i + 1) for i in range(n - 1)]
+
+    def star_edges(n_stars, size):
+        out = []
+        for s in range(n_stars):
+            hub = s * size
+            out += [(hub, hub + i) for i in range(1, size)]
+        return out
+
+    shapes = {
+        "stars": (star_edges(200, 50), 4),
+        "path_64": (path_edges(64), 64 + 5),
+        "path_256": (path_edges(256), 256 + 5),
+        "star_chain": (
+            star_edges(100, 50) + [(s * 50 + 1, (s + 1) * 50) for s in range(99)],
+            210,
+        ),
+    }
+    spark = get_spark(app_name="cc-bench", cores=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    out: dict = {"metric": "cc_star_vs_min_label", "unit": "sec",
+                 "cores": cores, "shapes": {}}
+    for name, (pairs, budget) in shapes.items():
+        edges = spark.createDataFrame(pairs, "src BIGINT, dst BIGINT")
+        row: dict = {"edges": len(pairs)}
+        for algo in ("min_label", "star"):
+            stats: dict = {}
+            t0 = time.time()
+            res = connected_components(
+                edges, max_iter=budget, algorithm=algo, stats=stats
+            )
+            n_comp = res.select("component").distinct().count()
+            row[algo] = {
+                "sec": round(time.time() - t0, 2),
+                "rounds": stats["rounds"],
+                "components": n_comp,
+            }
+        assert row["min_label"]["components"] == row["star"]["components"]
+        out["shapes"][name] = row
+    spark.stop()
+    return out
 
 
 def run_scaling(n_convs: int, n_low: int = 8, n_high: int = 32) -> dict:
@@ -210,6 +296,9 @@ if __name__ == "__main__":
         n_convs = int(sys.argv[3]) if len(sys.argv) > 3 else 45_000
         repeats = int(sys.argv[4]) if len(sys.argv) > 4 else None
         print(json.dumps(run_scaling_side(n_convs, cores, repeats)))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--cc-bench":
+        cores = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+        print(json.dumps(run_cc_bench(cores)))
     elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":
         n_convs = int(sys.argv[2]) if len(sys.argv) > 2 else 15_000
         # default N=2 -> 4N=8: this sandbox's 32 vCPUs saturate at ~8-10

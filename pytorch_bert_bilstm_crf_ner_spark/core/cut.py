@@ -74,6 +74,30 @@ def cut_sentences_tier3(sent: str) -> list[str]:
     return _apply((_TIER3,), sent)
 
 
+def _apply_pos(rules, sent: str, base: int) -> list[tuple[str, int]]:
+    """Like :func:`_apply`, but each split piece carries its TRUE start
+    offset in the original string (``base`` + position in ``sent``).
+
+    Sound because the substitutions only INSERT newline separators — every
+    piece is a contiguous run of original characters in order.  An
+    original ``\\n`` in ``sent`` always acts as a separator (pieces never
+    contain one), and matching it against the earliest gap where
+    ``sent[pos] == '\\n'`` is exact: the next piece cannot start ON a
+    newline, and no characters are ever dropped or reordered."""
+    cur = sent
+    for pat, repl in rules:
+        cur = pat.sub(repl, cur)
+    parts = cur.split("\n")
+    out: list[tuple[str, int]] = []
+    pos = 0
+    for i, piece in enumerate(parts):
+        out.append((piece, base + pos))
+        pos += len(piece)
+        if i < len(parts) - 1 and pos < len(sent) and sent[pos] == "\n":
+            pos += 1  # this separator was an original newline
+    return out
+
+
 def cut_sentences_main(text: str, max_seq_len: int) -> list[str]:
     """Three-tier serving cut — faithful port of `cut.py:30-76`, the cutter
     used by `predict.py:125` / `scripts/server.py:55` (callers pass their
@@ -91,36 +115,58 @@ def cut_sentences_main(text: str, max_seq_len: int) -> list[str]:
     - a flushed buffer seeded with an overlong piece IS emitted, so output
       pieces can exceed ``max_seq_len``;
     - whitespace-only pieces are filtered from the final result.
+
+    Implemented as a projection of :func:`cut_sentences_main_with_pos`
+    (one source of truth for the quirky control flow).
     """
+    return [p for p, _ in cut_sentences_main_with_pos(text, max_seq_len)]
+
+
+def cut_sentences_main_with_pos(
+    text: str, max_seq_len: int
+) -> list[tuple[str, int]]:
+    """:func:`cut_sentences_main` with each emitted piece's TRUE start
+    offset in ``text`` (round-4 VERDICT #5): after a silent drop, later
+    pieces keep their original positions, so mention offsets rebased with
+    these starts stay join-safe against the raw turn text —
+    ``text[start : start + len(piece)] == piece`` holds for every emitted
+    piece (the repack only concatenates CONTIGUOUS comma chunks; a
+    newline-free input is guaranteed by the upstream two-tier cutter's
+    concat assert)."""
     if len(text) <= max_seq_len:
-        return [text]
+        return [(text, 0)]
 
-    sentences: list[str] = []
-    for s1 in cut_sentences_tier1(text):
+    sentences: list[tuple[str, int]] = []
+    for s1, p1 in _apply_pos(_TIER1, text, 0):
         if len(s1) > max_seq_len:
-            sentences.extend(cut_sentences_tier2(s1))
+            sentences.extend(_apply_pos((_TIER2,), s1, p1))
         else:
-            sentences.append(s1)
+            sentences.append((s1, p1))
 
-    res: list[str] = []
-    for sent in sentences:
+    res: list[tuple[str, int]] = []
+    for sent, ps in sentences:
         if len(sent) > max_seq_len:
             tmp: list[str] = []
+            tmp_start = ps
             length = 0
-            for piece in cut_sentences_tier3(sent):
+            for piece, pp in _apply_pos((_TIER3,), sent, ps):
                 if length + len(piece) < max_seq_len:
+                    if "".join(tmp) == "":
+                        # no content yet: the emitted string starts here
+                        tmp_start = pp
                     tmp.append(piece)
                     length += len(piece)
                 elif "".join(tmp) != "":
-                    res.append("".join(tmp))
+                    res.append(("".join(tmp), tmp_start))
                     tmp = [piece]
                     length = len(piece)
+                    tmp_start = pp
                 # else: buffer empty and piece alone too long -> DROPPED
             if "".join(tmp) != "":
-                res.append("".join(tmp))
+                res.append(("".join(tmp), tmp_start))
         else:
-            res.append(sent)
-    return [p for p in res if p.strip() != ""]
+            res.append((sent, ps))
+    return [(p, s) for p, s in res if p.strip() != ""]
 
 
 def refactor_labels(sent: str, labels: list, start_index: int) -> list[tuple]:

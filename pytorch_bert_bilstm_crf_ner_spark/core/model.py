@@ -83,15 +83,19 @@ class TaggerConfig:
     # "three_tier" — the reference serving cutter `cut.py:24-76`
     # (comma split + strict-< repack; reference quirks apply: text may be
     # silently dropped, so the concat invariant does NOT hold).
-    # OFFSET DRIFT in "three_tier": tag_batch rebases each piece's
-    # mention offsets by CUMULATIVE EMITTED length (the reference's
-    # `merge_with_loc`, `scripts/server.py:74-85`), so after any silently
-    # dropped text every later mention's `start` is shifted LEFT relative
-    # to the ORIGINAL turn text — (conv_id, turn_idx, start) joins and
-    # text[start:start+len] slices against the raw turn no longer line
-    # up.  That is reference-faithful serving behavior, not a safe
-    # default; keep "hard_chunk" when downstream consumes offsets.
+    # OFFSET semantics in "three_tier" (round-4 VERDICT #5): the cutter
+    # may silently DROP text, so two rebase conventions exist.
+    # "true" (default): each piece carries its TRUE start in the ORIGINAL
+    # turn text (`cut_sentences_main_with_pos` tracks what was dropped),
+    # so (conv_id, turn_idx, start) joins and text[start:start+len]
+    # slices stay valid even after drops.  "emitted": the reference's
+    # `merge_with_loc` serving behavior (`scripts/server.py:74-85`) —
+    # offsets rebased by CUMULATIVE EMITTED length, shifting every
+    # post-drop mention LEFT relative to the original text; keep only for
+    # bit-faithful serving replication.  Irrelevant for "hard_chunk"
+    # (no drops — the two conventions coincide).
     long_piece_cut: str = "hard_chunk"
+    three_tier_offsets: str = "true"
 
 
 class DeterministicTagger:
@@ -188,30 +192,45 @@ class DeterministicTagger:
     # ------------------------------------------------------------------ #
 
     def _piece(self, text: str) -> list[str]:
+        """Piece texts only (see :meth:`_piece_pos` for the offsets)."""
+        return [p for p, _ in self._piece_pos(text)]
+
+    def _piece_pos(self, text: str) -> list[tuple[str, int]]:
         """Cut to <= max_seq_len - 2 chars: reference tiered sentence cut
         first (`cutSentences.py:24-58`), then the configured fallback for
         pieces still over the limit — hard char-chunking (default; concat
         invariant preserved) or the reference serving cutter
         `cut.py:30-76` (``long_piece_cut="three_tier"``; comma repack,
         may drop text per reference semantics — any piece it emits over
-        the limit is still hard-chunked so downstream padding holds)."""
+        the limit is still hard-chunked so downstream padding holds).
+
+        Each piece is returned with its TRUE start offset in ``text``
+        (``text[start : start + len(piece)] == piece`` always holds —
+        the two-tier cutter asserts its concat invariant and
+        `cut_sentences_main_with_pos` tracks through drops)."""
         limit = self.cfg.max_seq_len - 2
-        pieces: list[str] = []
+        pieces: list[tuple[str, int]] = []
+        pos0 = 0
         for p in cut_sent_for_bert(text, self.cfg.max_seq_len):
             if len(p) <= limit:
-                pieces.append(p)
+                pieces.append((p, pos0))
             elif self.cfg.long_piece_cut == "three_tier":
-                from .cut import cut_sentences_main
+                from .cut import cut_sentences_main_with_pos
 
-                for q in cut_sentences_main(p, limit):
+                for q, qs in cut_sentences_main_with_pos(p, limit):
                     if len(q) <= limit:
-                        pieces.append(q)
+                        pieces.append((q, pos0 + qs))
                     else:
                         pieces.extend(
-                            q[i : i + limit] for i in range(0, len(q), limit)
+                            (q[i : i + limit], pos0 + qs + i)
+                            for i in range(0, len(q), limit)
                         )
             else:
-                pieces.extend(p[i : i + limit] for i in range(0, len(p), limit))
+                pieces.extend(
+                    (p[i : i + limit], pos0 + i)
+                    for i in range(0, len(p), limit)
+                )
+            pos0 += len(p)
         return pieces
 
     def emissions(self, texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
@@ -275,20 +294,33 @@ class DeterministicTagger:
         """Tag a batch of turn texts -> per-turn [(mention, start, type)].
 
         Long texts are cut (reference `predict.py:12-53` batch shape), each
-        piece decoded, and piece-local offsets rebased by cumulative piece
-        length — the ``merge_with_loc`` semantics of `scripts/server.py:74-85`.
+        piece decoded, and piece-local offsets rebased to the piece's TRUE
+        start in the original turn text (`_piece_pos`), so downstream
+        (start, mention) joins and slices always line up — except under
+        ``three_tier_offsets="emitted"``, which reproduces the reference's
+        ``merge_with_loc`` cumulative-emitted-length rebase
+        (`scripts/server.py:74-85`) for bit-faithful serving.  The two
+        coincide whenever no text is dropped (always, for "hard_chunk").
         All pieces of all rows go through ONE Viterbi batch.
         """
+        if self.cfg.three_tier_offsets not in ("true", "emitted"):
+            raise ValueError(
+                f"three_tier_offsets: {self.cfg.three_tier_offsets!r}"
+            )
+        emitted_mode = (
+            self.cfg.long_piece_cut == "three_tier"
+            and self.cfg.three_tier_offsets == "emitted"
+        )
         pieces: list[str] = []
         owner: list[tuple[int, int]] = []  # (row, piece char start in row text)
         for b, text in enumerate(texts):
             if not text:
                 continue
             pos = 0
-            for p in self._piece(text):
+            for p, true_start in self._piece_pos(text):
                 if p:
                     pieces.append(p)
-                    owner.append((b, pos))
+                    owner.append((b, pos if emitted_mode else true_start))
                 pos += len(p)
         out: list[list[Span]] = [[] for _ in texts]
         if not pieces:

@@ -43,11 +43,16 @@ def viterbi_decode_batch(
     # ~50% more wall (2x memory traffic on the (B, T, T) candidate
     # tensor).  Cross-engine contract with the kg_mentions DuckDB twin
     # (`plans/viterbi_twin.py`): the twin SIMULATES these float32 adds
-    # exactly with one CAST(... AS REAL) per addition — a float32+float32
-    # sum is exact in IEEE double (24+24 bits < 53), so rounding the
-    # double sum to REAL is the IEEE single addition, bit-for-bit.  Keep
-    # every DP expression a chain of BINARY adds in a fixed order
-    # ((score + trans) + emission), or the twin desyncs.
+    # exactly with one CAST(... AS REAL) per addition.  Why that is
+    # bit-correct: computing a float32 op in float64 and then rounding to
+    # float32 ("double rounding") is innocuous whenever the intermediate
+    # precision is >= 2p+2 bits (Figueroa 1995) — for a single float32
+    # ADDITION, 53 >= 2*24+2 = 50, so the REAL cast of the double sum IS
+    # the IEEE single addition.  The bound holds per BINARY operation
+    # only: fusing two adds into one three-operand double sum before the
+    # cast is NOT covered and can mis-round.  Keep every DP expression a
+    # chain of BINARY adds in a fixed order ((score + trans) + emission),
+    # one REAL cast per add, or the twin desyncs.
     emissions = np.asarray(emissions, dtype=np.float32)
     start_transitions = np.asarray(start_transitions, dtype=np.float32)
     transitions = np.asarray(transitions, dtype=np.float32)

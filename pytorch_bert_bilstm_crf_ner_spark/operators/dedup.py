@@ -532,13 +532,17 @@ WHERE ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS 
 def neardup_clusters(embeddings: DataFrame, threshold: float = 0.95,
                      method: str = "lsh",
                      n: int | None = None,
-                     dim: int | None = None) -> DataFrame:
+                     dim: int | None = None,
+                     algorithm: str = "star") -> DataFrame:
     """(vec_id, cluster_id): cluster_id = min vec_id reachable through
     above-threshold near-dup pairs.  Only vectors appearing in at least
     one pair are emitted (singletons are their own trivial cluster).
     Pairs come from :func:`embedding_neardup_pairs` (LSH route by
-    default); components via the same iterative min-label propagation as
-    entity canonicalization."""
+    default); components default to large-star/small-star (O(log n)
+    rounds) rather than min-label propagation: near-dup graphs are
+    exactly the long-chain case (A~B~C~... drift chains at corpus scale)
+    where min-label's O(diameter) budget would RAISE at ``max_iter``
+    instead of finishing (round-4 VERDICT #2)."""
     from .canonicalize import connected_components
 
     pairs = embedding_neardup_pairs(embeddings, threshold, method=method,
@@ -546,7 +550,7 @@ def neardup_clusters(embeddings: DataFrame, threshold: float = 0.95,
     edges = pairs.select(
         F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
     )
-    comp = connected_components(edges)
+    comp = connected_components(edges, algorithm=algorithm)
     return comp.select(
         F.col("id").alias("vec_id"), F.col("component").alias("cluster_id")
     )

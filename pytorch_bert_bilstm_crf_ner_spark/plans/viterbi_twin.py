@@ -16,14 +16,18 @@ in DuckDB, bit-for-bit:
   greedy left-to-right non-overlap scan (chained SELECT stages — one per
   possible match, with an overflow guard), each selected match boosting
   B/I/E (or S) tags; the float32 `base + boost` add is reproduced as
-  ``CAST(base + boost AS REAL)`` (exact double sum rounded once).
+  ``CAST(base + boost AS REAL)`` (one binary add, one REAL cast — the
+  innocuous-double-rounding construction below).
 - **Viterbi**: `core/viterbi.py` runs its DP in float32 (the UDF hot
   loop; float64 cost ~50% more wall).  The recursion here — generated
   per-position stages carrying the 33-wide score list plus per-step
   backpointers — SIMULATES each float32 add exactly with one
-  ``CAST(... AS REAL)`` per addition: a float32+float32 sum is exact in
-  IEEE double (24+24 < 53 mantissa bits), so rounding that double sum to
-  REAL IS the IEEE single addition, bit-for-bit.  Argmax ties resolve to
+  ``CAST(... AS REAL)`` per addition: double rounding is innocuous for a
+  single binary float32 op when the intermediate precision is >= 2p+2
+  bits (Figueroa 1995; 53 >= 2*24+2 = 50), so the REAL cast of the
+  double sum IS the IEEE single addition, bit-for-bit.  The theorem
+  covers ONE binary op per cast — never fuse two adds into a
+  three-operand double sum before casting.  Argmax ties resolve to
   the FIRST index on both engines (np.argmax / list_position).
 - **BIOES FSM** (`core/decode.py::bioes_decode_flat`, with the id-0 ->
   id2ent[1] quirk): the scan-order FSM reduces to a closed form — every

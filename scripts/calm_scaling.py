@@ -87,10 +87,11 @@ def mini_probe() -> float:
 
 
 def run_side(cores: int, n_convs: int, repeats: int,
-             monitor_interval: float = 15.0) -> dict:
+             monitor_interval: float = 15.0, stage: str = "pipeline") -> dict:
     import threading
 
-    env = dict(os.environ, SPARK_GRAFT_AQE="false", SPARK_GRAFT_PREAGG="1")
+    env = dict(os.environ, SPARK_GRAFT_AQE="false", SPARK_GRAFT_PREAGG="1",
+               SPARK_GRAFT_SCALE_STAGE=stage)
     samples: list[float] = []
     stop = threading.Event()
 
@@ -164,9 +165,15 @@ def main() -> int:
                     "record implies tps2 >= calm tps2, hence measured "
                     "eff <= calm eff — transient bursts can only have "
                     "made the reading pessimistic.  0 = disabled")
+    ap.add_argument("--stage", default="pipeline",
+                    choices=["pipeline", "tag"],
+                    help="'tag' measures ONLY the model-forward stage "
+                    "(bench.py SPARK_GRAFT_SCALE_STAGE=tag): the "
+                    "fixed-overhead decomposition pair — set --max-sec8/"
+                    "--max-sec2 for the shorter walls when using this")
     ap.add_argument("--max-attempts", type=int, default=10)
     ap.add_argument("--retry-wait", type=float, default=90.0)
-    ap.add_argument("--out", default=os.path.join(REPO, "scaling_evidence_r4.jsonl"))
+    ap.add_argument("--out", default=os.path.join(REPO, "scaling_evidence_r5.jsonl"))
     args = ap.parse_args()
     if args.quick:
         quick_presets = {"n_convs": 15_000, "repeats": 1, "target": 0.70,
@@ -184,6 +191,7 @@ def main() -> int:
     for attempt in range(1, args.max_attempts + 1):
         rec = {"attempt": attempt, "n_convs": args.n_convs,
                "repeats": args.repeats, "quick": args.quick,
+               "stage": args.stage,
                "ts": time.strftime("%F %T"),
                "thresholds": {"min_thr2": args.min_thr2,
                               "min_thr8": args.min_thr8,
@@ -197,7 +205,8 @@ def main() -> int:
             time.sleep(args.retry_wait)
             continue
 
-        rec["side8"] = run_side(8, args.n_convs, args.repeats)
+        rec["side8"] = run_side(8, args.n_convs, args.repeats,
+                                stage=args.stage)
         post8 = cpu_probe()
         rec["probe_post_8core"] = post8
         s8 = rec["side8"]
@@ -220,7 +229,8 @@ def main() -> int:
             time.sleep(args.retry_wait)
             continue
 
-        rec["side2"] = run_side(2, args.n_convs, args.repeats)
+        rec["side2"] = run_side(2, args.n_convs, args.repeats,
+                                stage=args.stage)
         post2 = cpu_probe()
         rec["probe_post_2core"] = post2
         s2 = rec["side2"]

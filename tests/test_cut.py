@@ -128,6 +128,81 @@ def test_cut_sentences_main_drop_quirk():
     assert "ab，" in joined        # the short tail survives
 
 
+def test_three_tier_true_offsets_after_drop():
+    """Round-4 VERDICT #5: under `long_piece_cut="three_tier"` the cutter
+    silently DROPS text; the default offset convention ("true") must keep
+    every piece's — and therefore every mention's — `start` valid against
+    the ORIGINAL turn text, while the reference's merge_with_loc
+    cumulative-emitted rebase stays available behind
+    `three_tier_offsets="emitted"`."""
+    from pytorch_bert_bilstm_crf_ner_spark.core.model import (
+        DeterministicTagger,
+        TaggerConfig,
+    )
+
+    # limit = 16 - 2 = 14: the leading 17-char comma piece alone fails the
+    # strict repack test with an empty buffer -> silently dropped
+    text = "a" * 16 + "," + "spark is ok"
+    t = DeterministicTagger(
+        TaggerConfig(max_seq_len=16, long_piece_cut="three_tier")
+    )
+    pp = t._piece_pos(text)
+    assert [p for p, _ in pp] == ["spark is ok"], pp  # drop really happened
+    for p, s in pp:
+        assert text[s : s + len(p)] == p  # true-substring invariant
+    assert pp[0][1] == 17
+
+    spans = t.tag_batch([text])[0]
+    assert spans, "expected a gazetteer-boosted mention in the kept piece"
+    for mention, start, _ in spans:
+        assert text[start : start + len(mention)] == mention, (mention, start)
+    assert any(m == "spark" and s == 17 for m, s, _ in spans), spans
+
+    # reference-faithful serving mode: same mentions, shifted LEFT by the
+    # 17 dropped chars (merge_with_loc semantics, scripts/server.py:74-85)
+    em = DeterministicTagger(
+        TaggerConfig(
+            max_seq_len=16,
+            long_piece_cut="three_tier",
+            three_tier_offsets="emitted",
+        )
+    )
+    assert em.tag_batch([text])[0] == [
+        (m, s - 17, ty) for m, s, ty in spans
+    ]
+
+    # hard_chunk (the registered default): conventions coincide, and the
+    # true-substring invariant holds by construction
+    hard = DeterministicTagger(TaggerConfig(max_seq_len=16))
+    for p, s in hard._piece_pos(text):
+        assert text[s : s + len(p)] == p
+
+
+def test_cut_sentences_main_with_pos_matches_plain():
+    """The with-pos variant is the single source of truth; its projection
+    must equal cut_sentences_main on quirky inputs (drops, overlong
+    flushes, whitespace filtering), and every piece must slice back out
+    of the input at its reported start."""
+    from pytorch_bert_bilstm_crf_ner_spark.core.cut import (
+        cut_sentences_main,
+        cut_sentences_main_with_pos,
+    )
+
+    cases = [
+        "x" * 50 + "，" + "ab，" * 5,
+        "alpha beta, gamma delta, " * 8,
+        "短句。" + "y" * 45 + "，tail piece, done",
+        "a,b,c",
+        " " * 5 + "," + "z" * 30,
+    ]
+    for text in cases:
+        for n in (14, 30, 40):
+            wp = cut_sentences_main_with_pos(text, n)
+            assert [p for p, _ in wp] == cut_sentences_main(text, n)
+            for p, s in wp:
+                assert text[s : s + len(p)] == p, (text, n, p, s)
+
+
 def test_tagger_three_tier_piece_mode():
     """`long_piece_cut="three_tier"` routes overlong pieces through the
     serving cutter; the default keeps the round-1/2 hard-chunk outputs."""

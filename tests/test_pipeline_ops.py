@@ -177,6 +177,41 @@ def test_ivf_train_centroids_deterministic():
     assert d != a  # seed actually steers the init
 
 
+def test_ivf_oracle_follows_query_sf_dir():
+    """Round-4 VERDICT #3 (ivf twin de-freeze): oracle_sql derives the
+    ivf entry from the sf_dir the registered query LAST RAN with, so the
+    two centroid-literal sites agree at any comparison scale when the
+    driver runs queries first; and a query call AFTER an oracle trained
+    on a different dir emits a precise named warning, so a hash mismatch
+    is never inscrutable (it cannot raise: standalone multi-SF use in one
+    process — e.g. the plan-shape suite — is legitimate)."""
+    from pytorch_bert_bilstm_crf_ner_spark.plans import queries as Q
+
+    saved = dict(Q._IVF_TWIN_STATE)
+    try:
+        Q._IVF_TWIN_STATE.update(last_query_dir=None, served_from=None)
+        sql_default = Q.oracle_sql_dict()["ivf_ann_topk"]
+        assert Q._IVF_TWIN_STATE["served_from"] == Q._ORACLE_SF_DIR
+
+        # queries-first order: the oracle follows the query's dir
+        Q._IVF_TWIN_STATE.update(
+            last_query_dir="/root/testdata/sf0.001", served_from=None
+        )
+        sql_001 = Q.oracle_sql_dict()["ivf_ann_topk"]
+        assert Q._IVF_TWIN_STATE["served_from"] == "/root/testdata/sf0.001"
+        assert sql_001 != sql_default  # centroids genuinely differ by SF
+
+        # oracle-first order + a DIFFERENT query dir: loud, named warning
+        # (the call itself proceeds; None spark dies later at plan build,
+        # after the state bookkeeping we're pinning here)
+        with pytest.warns(UserWarning, match="ivf_ann_topk sf_dir desync"):
+            with pytest.raises(Exception):
+                Q.q_ivf_ann_topk(None, "/root/testdata/sf0.01")
+        assert Q._IVF_TWIN_STATE["last_query_dir"] == "/root/testdata/sf0.01"
+    finally:
+        Q._IVF_TWIN_STATE.update(saved)
+
+
 def test_ivf_ann_recall(spark):
     """IVF (k-means + nprobe buckets) vs brute-force cosine top-k."""
     from pytorch_bert_bilstm_crf_ner_spark.operators.ann import (

@@ -119,6 +119,45 @@ def test_star_checkpoint_mode_deep_graph(spark, tmp_path):
     assert got == _expected(pairs)
 
 
+def test_neardup_chain_defaults_to_star(spark):
+    """Chain-shaped NEAR-DUP fixture (round-4 VERDICT #2): 32 embeddings
+    built as a sliding window of 25 ones, so consecutive vectors have
+    cosine 24/25 = 0.96 (>= the 0.95 threshold) and every other pair is
+    <= 23/25 = 0.92 — the pair graph is a 31-hop chain.  min-label's old
+    default (25-round budget) REFUSES this graph; the shipping
+    neardup_clusters default (algorithm="star") finishes it."""
+    import pyspark.sql.functions as F
+
+    from pytorch_bert_bilstm_crf_ner_spark.operators.dedup import (
+        embedding_neardup_pairs,
+        neardup_clusters,
+    )
+
+    w, n_vec = 25, 32
+    dim = n_vec + w - 1
+    rows = [
+        (i, [1.0 if i <= d < i + w else 0.0 for d in range(dim)])
+        for i in range(n_vec)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    pairs = embedding_neardup_pairs(emb, 0.95, method="brute")
+    got = {(r["vec_a"], r["vec_b"]) for r in pairs.collect()}
+    assert got == {(i, i + 1) for i in range(n_vec - 1)}, got
+
+    # the pre-round-5 default would have raised at corpus scale
+    edges = pairs.select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=25, algorithm="min_label")
+
+    clusters = {
+        r["vec_id"]: r["cluster_id"]
+        for r in neardup_clusters(emb, 0.95, method="brute").collect()
+    }
+    assert clusters == {i: 0 for i in range(n_vec)}
+
+
 def test_min_label_rounds_tracked(spark):
     stats: dict = {}
     connected_components(

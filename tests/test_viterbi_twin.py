@@ -1,7 +1,8 @@
 """kg_mentions / kg_triples DuckDB twins (`plans/viterbi_twin.py`):
 bit-exact SQL recomputation of the CRF tagging UDF — emission literals,
-float64 Viterbi DP, greedy gazetteer scan, BIOES FSM closed form — plus
-the loud scope guards."""
+the float32 Viterbi DP simulated with one CAST(... AS REAL) per binary
+add, greedy gazetteer scan, BIOES FSM closed form — plus the loud scope
+guards."""
 
 from __future__ import annotations
 
@@ -129,6 +130,46 @@ def test_twin_guards_error_loudly():
     )
     with pytest.raises(duckdb.Error, match="printable"):
         con.execute(uni_sql).fetchall()
+
+
+def test_registered_corpus_within_twin_scope():
+    """Round-4 VERDICT #4: the twin's loud error() guards cover turn text
+    > max_seq_len - 2 chars and chars outside printable ASCII.  Scan the
+    driver's registered corpora (the SAME transcripts derivation the
+    oracle runs) for BOTH bounds, so a driver data refresh fails here
+    with a named cause before it ERRs inscrutably in the oracle run —
+    and record that real headroom exists, not a knife-edge fit."""
+    from pytorch_bert_bilstm_crf_ner_spark.sources.transcripts import (
+        transcripts_sql,
+    )
+
+    limit = TaggerConfig().max_seq_len - 2
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+        )
+        rows = con.execute(
+            f"SELECT conv_id, turn_idx, text FROM ({transcripts_sql()})"
+        ).fetchall()
+        assert rows, sf_dir
+        too_long = [
+            (c, t, len(x)) for c, t, x in rows if len(x) > limit
+        ]
+        assert not too_long, (
+            f"{sf_dir}: {len(too_long)} turn(s) exceed the kg twin's "
+            f"max_seq_len-2 = {limit} guard (driver data refresh?) — "
+            f"first: {too_long[:3]}"
+        )
+        bad = sorted(
+            {ch for _, _, x in rows for ch in x if not 32 <= ord(ch) <= 126}
+        )
+        assert not bad, (
+            f"{sf_dir}: chars outside printable ASCII would trip the "
+            f"twin's charset guard — first: {bad[:10]!r}"
+        )
+        max_len = max(len(x) for _, _, x in rows)
+        assert max_len <= limit, (sf_dir, max_len)
 
 
 def test_twin_rejects_unsupported_tagger_family():
