@@ -165,6 +165,13 @@ def main() -> int:
                     "record implies tps2 >= calm tps2, hence measured "
                     "eff <= calm eff — transient bursts can only have "
                     "made the reading pessimistic.  0 = disabled")
+    ap.add_argument("--repeats8", type=int, default=0,
+                    help="override repeats for the 8-core side only (0 = "
+                    "use --repeats).  The 8-core side is the burst-"
+                    "sensitive one (it needs 8 free host cores; the 2-core "
+                    "side almost always gets its 2), so extra best-of-N "
+                    "samples there buy calm-window chances cheaply — "
+                    "side8 costs ~2 min/sample vs side2's ~6")
     ap.add_argument("--stage", default="pipeline",
                     choices=["pipeline", "tag"],
                     help="'tag' measures ONLY the model-forward stage "
@@ -205,7 +212,8 @@ def main() -> int:
             time.sleep(args.retry_wait)
             continue
 
-        rec["side8"] = run_side(8, args.n_convs, args.repeats,
+        rec["side8"] = run_side(8, args.n_convs,
+                                args.repeats8 or args.repeats,
                                 stage=args.stage)
         post8 = cpu_probe()
         rec["probe_post_8core"] = post8
