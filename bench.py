@@ -189,7 +189,11 @@ def run_scaling_side(n_convs: int, cores: int,
     # runs (the sandbox carries ambient background load; min is the
     # least-contended estimate)
     _run(tr.limit(5000))
-    runs = [_run(tr) for _ in range(repeats)]
+    runs, windows = [], []
+    for _ in range(repeats):
+        w0 = time.time()
+        runs.append(_run(tr))
+        windows.append([round(w0, 2), round(time.time(), 2)])
     sec = min(r[0] for r in runs)
     n_turns, n_triples = runs[0][1], runs[0][2]
     spark.stop()
@@ -198,6 +202,10 @@ def run_scaling_side(n_convs: int, cores: int,
         "stage": stage,
         "sec": round(sec, 2),
         "all_secs": [round(r[0], 2) for r in runs],
+        # epoch [start, end] per measured repeat, so the calm-gate harness
+        # can attribute its in-flight probe samples to individual repeats
+        # and accept the fastest repeat whose OWN window was calm
+        "run_windows": windows,
         "turns": n_turns,
         "triples": n_triples,
         "turns_per_sec": round(n_turns / sec, 1),

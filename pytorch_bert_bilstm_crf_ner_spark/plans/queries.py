@@ -754,8 +754,11 @@ def q_training_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     stable scalar (``md5(to_json(...))``) so the driver's row canonicalizer
     (a pandas all-column sort) never sees an unhashable list; the raw-array
     table is what `operators/features.py::build_features` returns and what
-    the pytest parity suite checks value-by-value.  No SQL twin: the cut
-    FSM (`core/cut.py`) is Python by reference semantics — rows-only."""
+    the pytest parity suite checks value-by-value.  Hash-checked twin:
+    `_training_features_sql()` recomputes the cut FSM's hard_chunk path,
+    fine-grained tokenize, BIOES ids and padding in SQL (the vocab/tag-id
+    maps are embedded as VALUES; a turn-length guard `error()`s on data
+    the SQL cut cannot express, so drift fails loudly)."""
     from ..operators.features import build_features
 
     feats = build_features(_mid_from_documents(spark, sf_dir))

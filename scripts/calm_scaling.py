@@ -39,21 +39,29 @@ def _probe_work(_):
     return s
 
 
-def cpu_probe() -> dict:
-    """Fixed integer work at 2 and 8 processes (~4 s total): absolute
-    throughput exposes host-level contention the guest loadavg misses."""
+def cpu_probe(rounds: int = 2) -> dict:
+    """Fixed integer work at 2 and 8 processes (~4 s/round): absolute
+    throughput exposes host-level contention the guest loadavg misses.
+
+    Best-of-N elementwise: a probe sample AT calm speed is PROOF of free
+    host capacity at that instant (contention can only slow a probe,
+    never speed it up), while a single slow sample is ambiguous between
+    a real burst and the probe's own ~15% noise — so taking the max over
+    two rounds strictly reduces false gate failures without weakening
+    the calm evidence."""
     import concurrent.futures as cf
 
-    thr = {}
-    for n in (2, 8):
-        with cf.ProcessPoolExecutor(n) as ex:
-            t0 = time.time()
-            list(ex.map(_probe_work, range(n * 4)))
-            thr[n] = n * 4 / (time.time() - t0)
+    best = {2: 0.0, 8: 0.0}
+    for _ in range(rounds):
+        for n in (2, 8):
+            with cf.ProcessPoolExecutor(n) as ex:
+                t0 = time.time()
+                list(ex.map(_probe_work, range(n * 4)))
+                best[n] = max(best[n], n * 4 / (time.time() - t0))
     return {
-        "thr2": round(thr[2], 2),
-        "thr8": round(thr[8], 2),
-        "probe_eff_2_8": round((thr[8] / thr[2]) / 4, 3),
+        "thr2": round(best[2], 2),
+        "thr8": round(best[8], 2),
+        "probe_eff_2_8": round((best[8] / best[2]) / 4, 3),
     }
 
 
@@ -72,18 +80,25 @@ def settle_loadavg(max_load: float, timeout: float = 180.0) -> float:
         time.sleep(10)
 
 
-def mini_probe() -> float:
-    """One 2-process probe sample (~1.3 s calm).  Used DURING a side: the
-    side's JVM occupies at most 8 of 32 vCPUs, so on a calm box this
-    reads near full speed; a host burst drags it down immediately —
-    catching contention that before/after brackets miss (attempt 35: all
-    six brackets calm, yet side2 read 260 s from a mid-run burst)."""
+def mini_probe(rounds: int = 2) -> float:
+    """Best-of-2 2-process probe sample (~1.3 s/round calm).  Used DURING
+    a side: the side's JVM occupies at most 8 of 32 vCPUs, so on a calm
+    box this reads near full speed; a host burst drags it down
+    immediately — catching contention that before/after brackets miss
+    (attempt 35: all six brackets calm, yet side2 read 260 s from a
+    mid-run burst).  Best-of-2 for the same reason as `cpu_probe`: a
+    single sample has ~15% noise and a false dip rejects an otherwise
+    calm repeat window; a burst long enough to matter to a multi-minute
+    side also slows BOTH back-to-back rounds."""
     import concurrent.futures as cf
 
-    with cf.ProcessPoolExecutor(2) as ex:
-        t0 = time.time()
-        list(ex.map(_probe_work, range(2)))
-        return round(2 / (time.time() - t0), 2)
+    best = 0.0
+    for _ in range(rounds):
+        with cf.ProcessPoolExecutor(2) as ex:
+            t0 = time.time()
+            list(ex.map(_probe_work, range(2)))
+            best = max(best, 2 / (time.time() - t0))
+    return round(best, 2)
 
 
 def run_side(cores: int, n_convs: int, repeats: int,
@@ -92,13 +107,13 @@ def run_side(cores: int, n_convs: int, repeats: int,
 
     env = dict(os.environ, SPARK_GRAFT_AQE="false", SPARK_GRAFT_PREAGG="1",
                SPARK_GRAFT_SCALE_STAGE=stage)
-    samples: list[float] = []
+    samples: list[tuple[float, float]] = []  # (epoch_at_completion, thr2)
     stop = threading.Event()
 
     def monitor() -> None:
         time.sleep(monitor_interval)
         while not stop.is_set():
-            samples.append(mini_probe())
+            samples.append((time.time(), mini_probe()))
             stop.wait(monitor_interval)
 
     th = threading.Thread(target=monitor, daemon=True)
@@ -113,8 +128,19 @@ def run_side(cores: int, n_convs: int, repeats: int,
         stop.set()
         th.join(timeout=5)
     side = json.loads(out.stdout.strip().splitlines()[-1])
-    side["inflight_thr2"] = samples
-    side["inflight_min_thr2"] = min(samples) if samples else None
+    side["inflight_thr2"] = [thr for _, thr in samples]
+    side["inflight_min_thr2"] = (
+        min(thr for _, thr in samples) if samples else None
+    )
+    # attribute each sample to the measured repeat whose window it fell in
+    # (bench.py emits run_windows); a sample's epoch is its COMPLETION
+    # time, so a burst that straddles a window boundary is charged to the
+    # window it ended in — conservative for the window that matters, since
+    # the straddling slowdown also shows up in that repeat's wall time
+    side["repeat_inflight_min"] = [
+        min((thr for t, thr in samples if w0 <= t <= w1), default=None)
+        for w0, w1 in side.get("run_windows", [])
+    ]
     return side
 
 
@@ -242,10 +268,25 @@ def main() -> int:
         post2 = cpu_probe()
         rec["probe_post_2core"] = post2
         s2 = rec["side2"]
-        inflight_dip = (
-            s2["inflight_min_thr2"] is not None
-            and s2["inflight_min_thr2"] < args.min_inflight_thr2
-        )
+        # per-repeat clean-window selection: the evidentiary repeat is the
+        # FASTEST one whose own in-flight probe window never dipped — a
+        # burst during one repeat no longer invalidates its calm siblings.
+        # (Direction check: contention during side2 can only make a repeat
+        # SLOWER, i.e. inflate efficiency; a repeat whose window is probed
+        # calm carries the same validity the whole-side gate used to.)
+        rep_mins = s2.get("repeat_inflight_min") or []
+        clean = [
+            (sec, i) for i, sec in enumerate(s2["all_secs"])
+            if i < len(rep_mins)
+            and (rep_mins[i] is None or rep_mins[i] >= args.min_inflight_thr2)
+        ]
+        if clean:
+            sec_clean, idx = min(clean)
+            s2["clean_repeat_idx"] = idx
+            s2["sec_raw_best"] = s2["sec"]
+            s2["sec"] = sec_clean
+            s2["turns_per_sec"] = round(s2["turns"] / sec_clean, 1)
+        inflight_dip = not clean
         if (not probe_ok(post2, args) or s2["sec"] > args.max_sec2
                 or inflight_dip):
             # inflate-proof override: an in-flight dip is harmless when
