@@ -128,20 +128,50 @@ def run_side(cores: int, n_convs: int, repeats: int,
         stop.set()
         th.join(timeout=5)
     side = json.loads(out.stdout.strip().splitlines()[-1])
+    annotate_side_with_samples(side, samples)
+    return side
+
+
+def annotate_side_with_samples(side: dict,
+                               samples: list[tuple[float, float]]) -> None:
+    """Record the in-flight probe samples on a side record, attributing
+    each sample to the measured repeat whose window it fell in (bench.py
+    emits ``run_windows`` as epoch [start, end] pairs).  A sample's epoch
+    is its COMPLETION time, so a burst that straddles a window boundary is
+    charged to the window it ended in — conservative for the window that
+    matters, since the straddling slowdown also shows up in that repeat's
+    wall time."""
     side["inflight_thr2"] = [thr for _, thr in samples]
     side["inflight_min_thr2"] = (
         min(thr for _, thr in samples) if samples else None
     )
-    # attribute each sample to the measured repeat whose window it fell in
-    # (bench.py emits run_windows); a sample's epoch is its COMPLETION
-    # time, so a burst that straddles a window boundary is charged to the
-    # window it ended in — conservative for the window that matters, since
-    # the straddling slowdown also shows up in that repeat's wall time
     side["repeat_inflight_min"] = [
         min((thr for t, thr in samples if w0 <= t <= w1), default=None)
         for w0, w1 in side.get("run_windows", [])
     ]
-    return side
+
+
+def select_clean_repeat(all_secs: list[float],
+                        repeat_inflight_min: list[float | None],
+                        min_inflight_thr2: float) -> tuple[float, int] | None:
+    """Pick the evidentiary repeat for the 2-core side: the FASTEST one
+    whose own in-flight probe window never dipped below the calm floor —
+    a burst during one repeat no longer invalidates its calm siblings.
+
+    Direction check: contention during side2 can only make a repeat
+    SLOWER, i.e. inflate efficiency; a repeat whose window is probed calm
+    carries the same validity the whole-side gate used to.  A repeat with
+    NO samples in its window (None) is treated as calm — its wall time is
+    still bounded by ``--max-sec2`` and short windows are the ones a
+    15-second probe cadence can miss.  Returns (sec, index) or None if no
+    repeat's window was calm."""
+    clean = [
+        (sec, i) for i, sec in enumerate(all_secs)
+        if i < len(repeat_inflight_min)
+        and (repeat_inflight_min[i] is None
+             or repeat_inflight_min[i] >= min_inflight_thr2)
+    ]
+    return min(clean) if clean else None
 
 
 def main() -> int:
@@ -268,25 +298,17 @@ def main() -> int:
         post2 = cpu_probe()
         rec["probe_post_2core"] = post2
         s2 = rec["side2"]
-        # per-repeat clean-window selection: the evidentiary repeat is the
-        # FASTEST one whose own in-flight probe window never dipped — a
-        # burst during one repeat no longer invalidates its calm siblings.
-        # (Direction check: contention during side2 can only make a repeat
-        # SLOWER, i.e. inflate efficiency; a repeat whose window is probed
-        # calm carries the same validity the whole-side gate used to.)
-        rep_mins = s2.get("repeat_inflight_min") or []
-        clean = [
-            (sec, i) for i, sec in enumerate(s2["all_secs"])
-            if i < len(rep_mins)
-            and (rep_mins[i] is None or rep_mins[i] >= args.min_inflight_thr2)
-        ]
-        if clean:
-            sec_clean, idx = min(clean)
+        # per-repeat clean-window selection (see select_clean_repeat)
+        chosen = select_clean_repeat(
+            s2["all_secs"], s2.get("repeat_inflight_min") or [],
+            args.min_inflight_thr2)
+        if chosen is not None:
+            sec_clean, idx = chosen
             s2["clean_repeat_idx"] = idx
             s2["sec_raw_best"] = s2["sec"]
             s2["sec"] = sec_clean
             s2["turns_per_sec"] = round(s2["turns"] / sec_clean, 1)
-        inflight_dip = not clean
+        inflight_dip = chosen is None
         if (not probe_ok(post2, args) or s2["sec"] > args.max_sec2
                 or inflight_dip):
             # inflate-proof override: an in-flight dip is harmless when
