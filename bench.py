@@ -79,6 +79,7 @@ def run_default(sf_dir: str, cpus: int, production_shapes: bool = False) -> dict
         "minhash_signatures",
         "lsh_candidate_pairs",
         "simhash",
+        "simhash_neardup",
         "cosine_topk",
         "text_profile",
         "events_sessionized",

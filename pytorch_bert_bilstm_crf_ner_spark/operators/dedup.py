@@ -277,6 +277,96 @@ def simhash(documents: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     return hashes.select("doc_id", F.expr(fingerprint).alias("simhash"))
 
 
+def simhash_neardup_pairs(documents: DataFrame, bits: int = SIMHASH_BITS,
+                          max_hamming: int = 3, n_bands: int = 4,
+                          max_band_docs: int | None = None) -> DataFrame:
+    """(doc_a, doc_b, hamming): pairs whose simhash fingerprints differ in
+    at most ``max_hamming`` bits; doc_a < doc_b.
+
+    Banding (the classic web-dedup construction): slice the ``bits``-bit
+    fingerprint into ``n_bands`` contiguous slices and equi-join on
+    (band_id, band_val).  Pigeonhole gives EXACT recall whenever
+    ``max_hamming <= n_bands - 1``: at most ``max_hamming`` differing bits
+    can touch at most that many bands, so at least one band is identical
+    (the defaults 4 bands / Hamming 3 satisfy this; the constructor
+    asserts it).  Verification is one ``bit_count(a ^ b)`` on the
+    deduplicated candidate set — no quadratic stage anywhere.
+
+    ``max_band_docs``: at corpus scale a degenerate band value shared by
+    k documents contributes k^2 join rows (e.g. near-empty documents all
+    landing on band 0).  Capping drops those band values from CANDIDATE
+    GENERATION, which forfeits the recall guarantee only for pairs whose
+    every shared band is that hot — the standard recall/cost trade;
+    leave None for exact."""
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"exact recall needs max_hamming <= n_bands - 1 "
+            f"(got {max_hamming} > {n_bands - 1})")
+    if bits % n_bands:
+        raise ValueError(f"bits={bits} not divisible by n_bands={n_bands}")
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    sig = simhash(documents, bits)
+    bands = sig.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.expr(f"named_struct('band_id', {b}, 'band_val', "
+                   f"shiftright(simhash, {b * band_bits}) & {mask})")
+            for b in range(n_bands)
+        ])).alias("b"),
+    ).select(
+        "doc_id", "simhash",
+        F.col("b.band_id").alias("band_id"),
+        F.col("b.band_val").alias("band_val"),
+    )
+    if max_band_docs is not None:
+        rare = (bands.groupBy("band_id", "band_val")
+                .agg(F.count(F.lit(1)).alias("df"))
+                .filter(F.col("df") <= max_band_docs)
+                .select("band_id", "band_val"))
+        bands = bands.join(rare, ["band_id", "band_val"], "left_semi")
+    a = bands.select(F.col("doc_id").alias("doc_a"),
+                     F.col("simhash").alias("sim_a"), "band_id", "band_val")
+    b = bands.select(F.col("doc_id").alias("doc_b"),
+                     F.col("simhash").alias("sim_b"), "band_id", "band_val")
+    cand = (
+        a.join(b, ["band_id", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .distinct()   # a pair may share several bands
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.expr("CAST(bit_count(sim_a ^ sim_b) AS INT)"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def simhash_neardup_sql(bits: int = SIMHASH_BITS, max_hamming: int = 3,
+                        n_bands: int = 4) -> str:
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    return f"""
+WITH sig AS MATERIALIZED ({simhash_sql(bits)}),
+bands AS MATERIALIZED (
+  SELECT doc_id, simhash, CAST(b AS INT) AS band_id,
+         (simhash >> (CAST(b AS INT) * {band_bits})) & {mask} AS band_val
+  FROM sig, (SELECT unnest(range({n_bands})) AS b)
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sim_a, b.simhash AS sim_b
+  FROM bands a
+  JOIN bands b ON a.band_id = b.band_id AND a.band_val = b.band_val
+             AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(sim_a, sim_b)) <= {max_hamming}
+"""
+
+
 def simhash_sql(bits: int = SIMHASH_BITS) -> str:
     return f"""
 WITH words AS (

@@ -558,6 +558,18 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simhash-banded near-duplicate pairs (Hamming <= 3 over the 48-bit
+    fingerprint; 4 bands x 12 bits => exact recall by pigeonhole).  Twin:
+    `operators/dedup.py::simhash_neardup_sql` — both engines share the
+    identical integer band/xor/popcount arithmetic, so the match is
+    exact by construction."""
+    from ..operators.dedup import simhash_neardup_pairs
+
+    return simhash_neardup_pairs(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
 def _embeddings_meta(path: str) -> tuple[int | None, int | None]:
     """(row count, embedding width) from the parquet footer + first value
     of the first row group — driver-side file metadata only, NO Spark job
@@ -1079,6 +1091,7 @@ SPARK_QUERIES = {
     "minhash_signatures": q_minhash_signatures,
     "lsh_candidate_pairs": q_lsh_pairs,
     "simhash": q_simhash,
+    "simhash_neardup": q_simhash_neardup,
     "embedding_neardup": q_embedding_neardup,
     "cosine_topk": q_cosine_topk,
     "text_profile": q_text_profile,
@@ -1182,6 +1195,7 @@ def _register_pipeline_sql() -> None:
         minhash_signatures_sql,
         neardup_clusters_sql,
         ngram_jaccard_sql,
+        simhash_neardup_sql,
         simhash_sql,
     )
 
@@ -1192,6 +1206,7 @@ def _register_pipeline_sql() -> None:
             "minhash_signatures": minhash_signatures_sql(),
             "lsh_candidate_pairs": lsh_candidate_pairs_sql(),
             "simhash": simhash_sql(),
+            "simhash_neardup": simhash_neardup_sql(),
             "embedding_neardup": embedding_neardup_lsh_sql(0.5),
             "neardup_clusters": neardup_clusters_sql(0.5),
             "cosine_topk": cosine_topk_sql(),

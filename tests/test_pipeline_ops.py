@@ -242,3 +242,50 @@ def test_ivf_ann_recall(spark):
         ).collect()
     }
     assert again == approx_set
+
+
+def test_simhash_banding_recall_is_exact(spark):
+    """Pigeonhole guarantee: with 4 bands over 48 bits, every pair at
+    Hamming distance <= 3 shares at least one identical band — so the
+    banded equi-join plan must return EXACTLY the brute-force all-pairs
+    popcount result (banding can only drop candidates, never invent
+    them, and survivors are re-verified; equality proves zero drops)."""
+    import pyspark.sql.functions as F
+    from pytorch_bert_bilstm_crf_ner_spark.operators.dedup import (
+        simhash,
+        simhash_neardup_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    banded = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_neardup_pairs(docs, max_hamming=3).collect()
+    }
+    sig = simhash(docs)
+    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"))
+    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"))
+    brute = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.expr("CAST(bit_count(sa ^ sb) AS INT)"))
+        .filter(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+        .collect()
+    }
+    assert brute, "expected near-dup simhash pairs in sf0.01"
+    assert banded == brute
+
+
+def test_simhash_banding_rejects_unsound_params(spark):
+    """max_hamming > n_bands - 1 would silently lose recall; the
+    constructor must refuse."""
+    import pytest as _pytest
+
+    from pytorch_bert_bilstm_crf_ner_spark.operators.dedup import (
+        simhash_neardup_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    with _pytest.raises(ValueError, match="exact recall"):
+        simhash_neardup_pairs(docs, max_hamming=4, n_bands=4)
