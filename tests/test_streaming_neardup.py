@@ -1,0 +1,105 @@
+"""Streaming simhash near-dup: equivalence with the batch operator when
+the horizon covers all arrivals, and horizon-bounded forgetting when it
+does not."""
+
+from __future__ import annotations
+
+import datetime as dt
+import glob
+import os
+import shutil
+import time as _time
+
+import pyspark.sql.functions as F
+
+
+def _stage_batches(spark, tmp_path, in_dir, batches):
+    """Write each batch as one parquet file into the stream input dir,
+    mtime-ordered so maxFilesPerTrigger=1 replays them in order."""
+    os.makedirs(in_dir, exist_ok=True)
+    for i, df in enumerate(batches):
+        stage = str(tmp_path / f"stage{i}")
+        df.coalesce(1).write.parquet(stage)
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        dst = f"{in_dir}/b{i}.parquet"
+        shutil.move(part, dst)
+        t = _time.time() - 300 + i * 10
+        os.utime(dst, (t, t))
+
+
+def _doc_batches(spark, base_ts, batch2_offset_minutes):
+    """sf0.001 documents split by doc_id parity into two arrival batches
+    with synthetic event times."""
+    from pytorch_bert_bilstm_crf_ner_spark.streaming.neardup import (
+        DOCUMENTS_STREAM_SCHEMA,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    b1 = docs.filter(F.col("doc_id") % 2 == 0).withColumn(
+        "ts", F.lit(base_ts))
+    b2 = docs.filter(F.col("doc_id") % 2 == 1).withColumn(
+        "ts", F.lit(base_ts + dt.timedelta(minutes=batch2_offset_minutes)))
+    cast = lambda df: spark.createDataFrame(  # noqa: E731
+        df.select("doc_id", "text", "ts").rdd, DOCUMENTS_STREAM_SCHEMA)
+    return cast(b1), cast(b2)
+
+
+def _batch_pairs(spark):
+    from pytorch_bert_bilstm_crf_ner_spark.operators.dedup import (
+        simhash_neardup_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    return {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_neardup_pairs(docs, max_hamming=3).collect()
+    }
+
+
+def _stream_pairs(spark, tmp_path, name, batch2_offset_minutes, horizon):
+    from pytorch_bert_bilstm_crf_ner_spark.streaming.neardup import (
+        stream_neardup_simhash,
+    )
+
+    d = {k: str(tmp_path / name / k) for k in ("in", "out", "ckpt")}
+    base = dt.datetime(2024, 1, 1, 10, 0)
+    b1, b2 = _doc_batches(spark, base, batch2_offset_minutes)
+    _stage_batches(spark, tmp_path / name, d["in"], [b1, b2])
+    q = stream_neardup_simhash(spark, d["in"], d["out"], d["ckpt"],
+                               max_hamming=3, horizon=horizon)
+    q.awaitTermination(180)
+    out = spark.read.parquet(d["out"])
+    # normalize arrival-ordered events to the batch operator's id order
+    return {
+        (min(r["doc_a"], r["doc_b"]), max(r["doc_a"], r["doc_b"]),
+         r["hamming"])
+        for r in out.collect()
+    }
+
+
+def test_stream_matches_batch_when_horizon_covers_all(spark, tmp_path):
+    """With both batches inside the horizon, the streaming match-event
+    set must equal the batch operator's pair set exactly — same banding,
+    same popcount, state carrying batch-1 fingerprints across the
+    micro-batch boundary."""
+    batch = _batch_pairs(spark)
+    assert batch, "expected simhash near-dup pairs in sf0.001"
+    streamed = _stream_pairs(spark, tmp_path, "full",
+                             batch2_offset_minutes=5, horizon="30 minutes")
+    assert streamed == batch
+
+
+def test_stream_forgets_beyond_horizon(spark, tmp_path):
+    """With batch 2 arriving beyond the horizon, cross-parity pairs (one
+    doc per batch) must be forgotten, while pairs wholly inside one
+    batch survive — the bounded-state contract."""
+    batch = _batch_pairs(spark)
+    cross = {(a, b, h) for a, b, h in batch if (a % 2) != (b % 2)}
+    within = batch - cross
+    assert cross and within, "fixture needs both pair kinds"
+    streamed = _stream_pairs(spark, tmp_path, "short",
+                             batch2_offset_minutes=120, horizon="30 minutes")
+    assert streamed == within
