@@ -41,15 +41,19 @@ FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
 # word shingles
 
 
+def _shingle_array_sql(n: int = 3, text_col: str = "text") -> str:
+    """SQL fragment: the distinct n-word shingle array of one text value
+    (row-local, no explode)."""
+    words = f"split({text_col}, ' ')"
+    return (f"array_distinct(transform("
+            f"sequence(0, greatest(size({words}) - {n}, 0)), "
+            f"i -> array_join(slice({words}, i + 1, {n}), ' ')))")
+
+
 def _shingles(documents: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, shingle): distinct n-word shingles per document."""
-    words = F.split(F.col("text"), " ")
-    sh = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
-        lambda i: F.array_join(F.slice(words, i + 1, n), " "),
-    )
     return documents.select(
-        "doc_id", F.explode(F.array_distinct(sh)).alias("shingle")
+        "doc_id", F.explode(F.expr(_shingle_array_sql(n))).alias("shingle")
     )
 
 
@@ -145,13 +149,26 @@ def minhash_signatures(documents: DataFrame, n: int = 3,
                        n_hashes: int = N_HASHES) -> DataFrame:
     """(doc_id, h0..h{K-1}): K MinHash values = min over shingles of
     md5(k || '|' || shingle), as hex strings (engine-portable minima).
-    One groupBy with K aggregates — map-side combinable."""
-    sh = _shingles(documents, n)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("shingle")))).alias(f"h{k}")
+
+    Row-local: each signature column is one ``array_min(transform(...))``
+    over the in-row shingle array — NO explode, NO shuffle, map-only at
+    any scale (the previous explode + K-aggregate groupBy had a compact
+    map-side-combined shuffle, but the explode/agg machinery dominated:
+    measured 15x slower at sf0.1 — 1.59 s vs 0.10 s at K=8, 1.41 s vs
+    0.085 s at K=64, bit-identical output on every column).  min over
+    md5 strings is order-independent, so the shingle array's order is
+    irrelevant.  NULL-text rows are filtered explicitly: the old explode
+    dropped them implicitly (explode of NULL yields no rows) and the SQL
+    twin's unnest does the same — keeping them would emit NULL minima the
+    twin never sees."""
+    sh = _shingle_array_sql(n)
+    cols = [
+        F.expr(
+            f"array_min(transform({sh}, s -> md5(concat('{k}|', s))))"
+        ).alias(f"h{k}")
         for k in range(n_hashes)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return documents.filter(F.col("text").isNotNull()).select("doc_id", *cols)
 
 
 def minhash_signatures_sql(n: int = 3, n_hashes: int = N_HASHES) -> str:

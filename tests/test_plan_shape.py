@@ -72,3 +72,19 @@ def test_simhash_is_map_only(spark):
     plan = _plan(simhash(docs))
     assert "Exchange" not in plan, plan
     assert "Generate" not in plan, plan
+
+
+def test_minhash_signatures_is_map_only(spark):
+    """minhash_signatures computes each of the K signature columns as a
+    row-local array_min(transform(...)) over the in-row shingle array —
+    no explode, no shuffle (the old explode + K-aggregate groupBy was
+    measured 15x slower and its Exchange reappearing here would flag a
+    regression)."""
+    from pytorch_bert_bilstm_crf_ner_spark.operators.dedup import (
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(minhash_signatures(docs))
+    assert "Exchange" not in plan, plan
+    assert "Generate" not in plan, plan
