@@ -149,26 +149,19 @@ def minhash_signatures(documents: DataFrame, n: int = 3,
                        n_hashes: int = N_HASHES) -> DataFrame:
     """(doc_id, h0..h{K-1}): K MinHash values = min over shingles of
     md5(k || '|' || shingle), as hex strings (engine-portable minima).
-
-    Row-local: each signature column is one ``array_min(transform(...))``
-    over the in-row shingle array — NO explode, NO shuffle, map-only at
-    any scale (the previous explode + K-aggregate groupBy had a compact
-    map-side-combined shuffle, but the explode/agg machinery dominated:
-    measured 15x slower at sf0.1 — 1.59 s vs 0.10 s at K=8, 1.41 s vs
-    0.085 s at K=64, bit-identical output on every column).  min over
-    md5 strings is order-independent, so the shingle array's order is
-    irrelevant.  NULL-text rows are filtered explicitly: the old explode
-    dropped them implicitly (explode of NULL yields no rows) and the SQL
-    twin's unnest does the same — keeping them would emit NULL minima the
-    twin never sees."""
-    sh = _shingle_array_sql(n)
-    cols = [
-        F.expr(
-            f"array_min(transform({sh}, s -> md5(concat('{k}|', s))))"
-        ).alias(f"h{k}")
+    One groupBy with K aggregates — the partial (map-side) combine
+    reduces the shuffle to docs x K pre-combined minima, so the exploded
+    shingle rows never cross the network: scale-correct as-is.  A
+    row-local ``array_min(transform(...))`` variant was tried and
+    reverted — interpreted lambda evaluation lost to this codegen'd
+    aggregation under forced-evaluation timing (the apparent win was an
+    artifact of ``count()`` pruning the unevaluated columns)."""
+    sh = _shingles(documents, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("shingle")))).alias(f"h{k}")
         for k in range(n_hashes)
     ]
-    return documents.filter(F.col("text").isNotNull()).select("doc_id", *cols)
+    return sh.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_signatures_sql(n: int = 3, n_hashes: int = N_HASHES) -> str:
@@ -254,22 +247,27 @@ SIMHASH_BITS = 48
 
 def simhash_expr(text_col: str = "text", bits: int = SIMHASH_BITS):
     """Column expression computing the simhash fingerprint of one text
-    value — a SINGLE row-local fold, zero shuffle, zero Python.
+    value — a SINGLE row-local fold, no aggregation, no Python.
 
     One pass over the words: the accumulator is the array of ``bits``
     per-bit votes, updated per word by ``zip_with(votes, bits_of(h), +)``.
     ``md5(w)`` is bound ONCE per word via the single-element
     ``transform(array(md5(w)), h -> ...)`` let-idiom — inlining it in the
     per-bit lambda would recompute the hash ``bits`` times per word.  The
-    finish lambda packs votes into the BIGINT fingerprint.  Being a plain
-    projection, this works unchanged on streaming DataFrames (no
-    aggregation, so no watermark/output-mode constraints) and scales
-    map-only: at 100 TB there is NO shuffle stage at all (the previous
-    grouped-collect formulation shuffled the corpus once; the original
-    words x bit-positions explode shuffled 48x the corpus).  Measured at
-    sf0.1: 0.117 s vs 0.326 s (grouped) vs 0.42 s (explode), all three
-    bit-identical — the vote fold is an exact integer sum, so word order
-    is irrelevant."""
+    finish lambda packs votes into the BIGINT fingerprint.
+
+    This exists for the STREAMING path (`streaming/neardup.py`): being a
+    plain projection it is legal where an aggregation is not (upstream of
+    a stateful operator, no watermark/output-mode constraints).  It is
+    NOT the batch formulation: higher-order lambdas are interpreted, not
+    codegen'd, and the honest forced-evaluation cost at sf0.1 (5,000
+    docs x ~54 words) is ~5.9 s vs ~2 s for :func:`simhash`'s
+    explode + map-side-combined aggregation.  (An earlier claim that
+    this fold was faster came from timing ``count()`` on the projection
+    — Catalyst prunes the unused fingerprint column entirely; always
+    force evaluation through an aggregate over the computed value when
+    benchmarking projections.)  Bit-identical to :func:`simhash` — the
+    vote fold is an exact integer sum, so word order is irrelevant."""
     return F.expr(f"""
     aggregate(
       split({text_col}, ' '),
@@ -294,9 +292,42 @@ def simhash(documents: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """(doc_id, simhash): weighted-majority bit fingerprint over words.
 
     Bit b of a word's hash = bit (3 - b%4) of hex nibble b//4 of md5(word);
-    the document bit is 1 iff more words set it than clear it.  See
-    :func:`simhash_expr` for the zero-shuffle formulation."""
-    return documents.select("doc_id", simhash_expr("text", bits).alias("simhash"))
+    the document bit is 1 iff more words set it than clear it.
+
+    Formulation: explode words x bit positions -> two hash aggregations,
+    all whole-stage-codegen.  The explosion is intra-stage — the partial
+    (map-side) aggregate combines every word of a doc within its
+    partition BEFORE the shuffle, so shuffle volume is docs x ``bits``
+    pre-combined rows, not words x bits: already the scale-correct
+    shape.  The interpreted row-local fold (:func:`simhash_expr`, kept
+    for streaming where aggregation is illegal) measures ~3x slower
+    under forced evaluation; codegen wins when the shuffle is this
+    small."""
+    words = documents.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).withColumn("h", F.md5("word"))
+    bits_df = words.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+        F.col("h"),
+    ).withColumn(
+        "nibble",
+        F.expr("locate(substring(h, bit div 4 + 1, 1), '0123456789abcdef') - 1"),
+    ).withColumn(
+        "is_set",
+        F.expr("CAST(shiftright(nibble, 3 - bit % 4) & 1 AS INT)"),
+    )
+    return (
+        bits_df.groupBy("doc_id", "bit")
+        .agg(F.sum(F.col("is_set") * 2 - 1).alias("vote"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("vote") > 0, F.expr(f"shiftleft(CAST(1 AS BIGINT), {bits - 1} - bit)"))
+                .otherwise(F.lit(0))
+            ).alias("simhash")
+        )
+    )
 
 
 def simhash_neardup_pairs(documents: DataFrame, bits: int = SIMHASH_BITS,
@@ -366,9 +397,22 @@ def simhash_neardup_pairs(documents: DataFrame, bits: int = SIMHASH_BITS,
 
 
 def simhash_neardup_sql(bits: int = SIMHASH_BITS, max_hamming: int = 3,
-                        n_bands: int = 4) -> str:
+                        n_bands: int = 4,
+                        max_band_docs: int | None = None) -> str:
     band_bits = bits // n_bands
     mask = (1 << band_bits) - 1
+    cap_cte = ""
+    bands_src = "bands"
+    if max_band_docs is not None:
+        cap_cte = f"""rare AS MATERIALIZED (
+  SELECT band_id, band_val FROM bands
+  GROUP BY band_id, band_val HAVING COUNT(*) <= {max_band_docs}
+),
+capped AS MATERIALIZED (
+  SELECT bands.* FROM bands JOIN rare USING (band_id, band_val)
+),
+"""
+        bands_src = "capped"
     return f"""
 WITH sig AS MATERIALIZED ({simhash_sql(bits)}),
 bands AS MATERIALIZED (
@@ -376,11 +420,11 @@ bands AS MATERIALIZED (
          (simhash >> (CAST(b AS INT) * {band_bits})) & {mask} AS band_val
   FROM sig, (SELECT unnest(range({n_bands})) AS b)
 ),
-cand AS MATERIALIZED (
+{cap_cte}cand AS MATERIALIZED (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          a.simhash AS sim_a, b.simhash AS sim_b
-  FROM bands a
-  JOIN bands b ON a.band_id = b.band_id AND a.band_val = b.band_val
+  FROM {bands_src} a
+  JOIN {bands_src} b ON a.band_id = b.band_id AND a.band_val = b.band_val
              AND a.doc_id < b.doc_id
 )
 SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming

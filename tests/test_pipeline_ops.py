@@ -289,3 +289,37 @@ def test_simhash_banding_rejects_unsound_params(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     with _pytest.raises(ValueError, match="exact recall"):
         simhash_neardup_pairs(docs, max_hamming=4, n_bands=4)
+
+
+def test_simhash_banding_cap_twin_parity(spark):
+    """max_band_docs is plumbed through both the Spark operator and the
+    SQL twin; the registered query is uncapped, so pin the capped route's
+    cross-engine equality here (and that capping only ever drops pairs)."""
+    import duckdb
+
+    from pytorch_bert_bilstm_crf_ner_spark.operators.dedup import (
+        simhash_neardup_pairs,
+        simhash_neardup_sql,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    capped = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_neardup_pairs(docs, max_band_docs=8).collect()
+    }
+    uncapped = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_neardup_pairs(docs).collect()
+    }
+    assert capped <= uncapped
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.01/documents.parquet')"
+    )
+    sql_capped = {
+        (int(a), int(b), int(h))
+        for a, b, h in con.execute(
+            simhash_neardup_sql(max_band_docs=8)).fetchall()
+    }
+    assert capped == sql_capped
