@@ -103,3 +103,45 @@ def test_stream_forgets_beyond_horizon(spark, tmp_path):
     streamed = _stream_pairs(spark, tmp_path, "short",
                              batch2_offset_minutes=120, horizon="30 minutes")
     assert streamed == within
+
+
+def test_stream_neardup_state_survives_restart(spark, tmp_path):
+    """True restart: run the query to completion on batch 1, then stage
+    batch 2 and start a NEW query against the SAME checkpoint — the
+    band-group state must be restored from the state store, so pairs
+    spanning the restart boundary are still found."""
+    from pytorch_bert_bilstm_crf_ner_spark.streaming.neardup import (
+        stream_neardup_simhash,
+    )
+
+    batch = _batch_pairs(spark)
+    cross = {(a, b, h) for a, b, h in batch if (a % 2) != (b % 2)}
+    assert cross, "fixture needs cross-parity pairs"
+
+    d = {k: str(tmp_path / k) for k in ("in", "out", "ckpt")}
+    base = dt.datetime(2024, 1, 1, 10, 0)
+    b1, b2 = _doc_batches(spark, base, batch2_offset_minutes=5)
+
+    _stage_batches(spark, tmp_path, d["in"], [b1])
+    q = stream_neardup_simhash(spark, d["in"], d["out"], d["ckpt"],
+                               max_hamming=3, horizon="30 minutes")
+    q.awaitTermination(180)
+
+    import glob as _glob
+    import shutil as _shutil
+    stage = str(tmp_path / "restart_stage")
+    b2.coalesce(1).write.parquet(stage)
+    part = _glob.glob(f"{stage}/part-*.parquet")[0]
+    _shutil.move(part, f"{d['in']}/b_restart.parquet")
+
+    q2 = stream_neardup_simhash(spark, d["in"], d["out"], d["ckpt"],
+                                max_hamming=3, horizon="30 minutes")
+    q2.awaitTermination(180)
+
+    out = spark.read.parquet(d["out"])
+    streamed = {
+        (min(r["doc_a"], r["doc_b"]), max(r["doc_a"], r["doc_b"]),
+         r["hamming"])
+        for r in out.collect()
+    }
+    assert streamed == batch  # includes every cross-restart pair
