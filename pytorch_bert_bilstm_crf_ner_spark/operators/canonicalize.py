@@ -208,10 +208,19 @@ def _star_components(sym: DataFrame, verts: DataFrame, max_iter: int,
             # same rule as the min-label loop: fully materialize the new
             # cache before the probe/unpersist can strand partial caches
             nxt.count()
-        # convergence = identical edge sets (both are distinct frames)
+        # convergence = identical edge sets.  Both frames are DISTINCT by
+        # construction, so set equality == "no (hi, lo) appears with an
+        # unbalanced +1/-1 tag" — ONE job with ONE shuffle, where the old
+        # two-directional exceptAll probe cost two jobs of two shuffles
+        # each (round-6; the probe dominated small-graph rounds)
         delta = (
-            nxt.exceptAll(directed).limit(1).count()
-            + directed.exceptAll(nxt).limit(1).count()
+            nxt.select("hi", "lo", F.lit(1).alias("s"))
+            .unionAll(directed.select("hi", "lo", F.lit(-1).alias("s")))
+            .groupBy("hi", "lo")
+            .agg(F.sum("s").alias("d"))
+            .filter(F.col("d") != 0)
+            .limit(1)
+            .count()
         )
         _unpin(directed)
         directed = nxt

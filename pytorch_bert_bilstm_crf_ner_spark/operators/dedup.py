@@ -459,29 +459,23 @@ FROM votes GROUP BY doc_id
 # embedding-cosine near-duplicates
 
 
-def _with_norm(df: DataFrame, suffix: str) -> DataFrame:
+def _with_norm(df: DataFrame, suffix: str, dim: int | None = None) -> DataFrame:
+    # dim known -> unrolled codegen sum (bit-identical order to the HOF
+    # fold: leading 0.0, left-assoc double adds); dim unknown -> the fold
+    from .ann import _dot_cols
+
     return df.select(
         F.col("vec_id").alias(f"vec_{suffix}"),
         F.col("embedding").alias(f"emb_{suffix}"),
-        F.sqrt(
-            F.aggregate(
-                "embedding",
-                F.lit(0.0),
-                lambda acc, x: acc + x.cast("double") * x.cast("double"),
-            )
-        ).alias(f"norm_{suffix}"),
+        F.sqrt(_dot_cols("embedding", "embedding", dim)).alias(f"norm_{suffix}"),
     )
 
 
-def _dot_ab():
+def _dot_ab(dim: int | None = None):
     # built lazily: Column construction needs an active SparkSession
-    return F.aggregate(
-        F.zip_with(
-            "emb_a", "emb_b", lambda x, y: x.cast("double") * y.cast("double")
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    from .ann import _dot_cols
+
+    return _dot_cols("emb_a", "emb_b", dim)
 
 
 def auto_n_planes(n: int) -> int:
@@ -552,9 +546,9 @@ def embedding_neardup_pairs(embeddings: DataFrame,
     they fall back to one ``count()`` / one ``head(1)`` (empty input
     yields an empty pair frame rather than a TypeError).
     """
-    a = _with_norm(embeddings, "a")
-    b = _with_norm(embeddings, "b")
     if method == "brute":
+        a = _with_norm(embeddings, "a")
+        b = _with_norm(embeddings, "b")
         pairs = a.crossJoin(b).filter(F.col("vec_a") < F.col("vec_b"))
     else:
         from .ann import lsh_buckets
@@ -586,7 +580,18 @@ def embedding_neardup_pairs(embeddings: DataFrame,
             )
             .distinct()
         )
-        pairs = cand.join(a, "vec_a").join(b, "vec_b")
+        # exact re-verify through the Arrow cosine kernel (round-6):
+        # dot/norms vectorized in numpy with the fold's exact add order;
+        # ROUND + threshold stay Spark-side, so emitted values are
+        # bit-identical to the old per-pair fold (and the SQL twin)
+        from .ann import _rerank_candidates
+
+        return (
+            _rerank_candidates(cand, embeddings, dim,
+                               a_key="vec_a", b_key="vec_b")
+            .filter(F.col("cos_sim") >= threshold)
+            .select("vec_a", "vec_b", "cos_sim")
+        )
     return (
         pairs.withColumn(
             "cos_sim",

@@ -616,7 +616,10 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ann import cosine_topk
 
-    return cosine_topk(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    _n, dim = _embeddings_meta(f"{sf_dir}/embeddings.parquet")
+    return cosine_topk(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), dim=dim
+    )
 
 
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
