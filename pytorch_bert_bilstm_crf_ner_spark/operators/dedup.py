@@ -156,7 +156,28 @@ def minhash_signatures(documents: DataFrame, n: int = 3,
     reverted — interpreted lambda evaluation lost to this codegen'd
     aggregation under forced-evaluation timing (the apparent win was an
     artifact of ``count()`` pruning the unevaluated columns)."""
-    sh = _shingles(documents, n)
+    # Round-6 shingle formulation: explode the POSITIONS and build each
+    # shingle with codegen'd slice/array_join per exploded row, instead of
+    # materializing the whole shingle array via an interpreted
+    # transform(...) lambda (guide §4.1 — measured 1.67s -> 0.19s for the
+    # shingle stage alone at sf0.1).  array_distinct is dropped: MIN over
+    # a multiset equals MIN over its distinct set, so the signatures are
+    # hash-identical (the Jaccard operator, whose counts DO need distinct
+    # shingles, keeps :func:`_shingles`).
+    sh = (
+        documents.select("doc_id", F.split("text", " ").alias("w"))
+        .select(
+            "doc_id",
+            "w",
+            F.explode(
+                F.expr(f"sequence(0, greatest(size(w) - {n}, 0))")
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.expr(f"array_join(slice(w, i + 1, {n}), ' ')").alias("shingle"),
+        )
+    )
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("shingle")))).alias(f"h{k}")
         for k in range(n_hashes)
@@ -294,40 +315,39 @@ def simhash(documents: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     Bit b of a word's hash = bit (3 - b%4) of hex nibble b//4 of md5(word);
     the document bit is 1 iff more words set it than clear it.
 
-    Formulation: explode words x bit positions -> two hash aggregations,
-    all whole-stage-codegen.  The explosion is intra-stage — the partial
-    (map-side) aggregate combines every word of a doc within its
-    partition BEFORE the shuffle, so shuffle volume is docs x ``bits``
-    pre-combined rows, not words x bits: already the scale-correct
-    shape.  The interpreted row-local fold (:func:`simhash_expr`, kept
-    for streaming where aggregation is illegal) measures ~3x slower
-    under forced evaluation; codegen wins when the shuffle is this
-    small."""
+    Round-6 formulation: the first ``bits/4`` hex chars of md5(word) are
+    ONE packed integer ``v`` (bit b of the fingerprint = bit ``bits-1-b``
+    of ``v`` — the hex string IS the big-endian bit string), so the whole
+    vote tally is a SINGLE groupBy(doc_id) with ``bits`` conditional
+    SUM((v >> k) & 1) aggregates plus COUNT(*): vote_b = 2*set_b - n > 0
+    iff 2*set_b > n.  This removes the former words x ``bits`` explode
+    (13M intermediate rows at sf0.1) and the second aggregation /
+    Exchange entirely — one Generate, one Exchange of docs x (bits+1)
+    pre-combined longs, all whole-stage-codegen.  Bit-identical output:
+    same per-word bits, same majority rule, same packing."""
+    if bits % 4:
+        raise ValueError(f"bits={bits} must be a multiple of 4")
+    nib = bits // 4
     words = documents.select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
-    ).withColumn("h", F.md5("word"))
-    bits_df = words.select(
+    ).select(
         "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
-        F.col("h"),
-    ).withColumn(
-        "nibble",
-        F.expr("locate(substring(h, bit div 4 + 1, 1), '0123456789abcdef') - 1"),
-    ).withColumn(
-        "is_set",
-        F.expr("CAST(shiftright(nibble, 3 - bit % 4) & 1 AS INT)"),
+        F.expr(
+            f"CAST(conv(substring(md5(word), 1, {nib}), 16, 10) AS BIGINT)"
+        ).alias("v"),
     )
-    return (
-        bits_df.groupBy("doc_id", "bit")
-        .agg(F.sum(F.col("is_set") * 2 - 1).alias("vote"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(F.col("vote") > 0, F.expr(f"shiftleft(CAST(1 AS BIGINT), {bits - 1} - bit)"))
-                .otherwise(F.lit(0))
-            ).alias("simhash")
+    aggs = [F.count(F.lit(1)).alias("n")] + [
+        F.sum(F.expr(f"shiftright(v, {bits - 1 - b}) & 1")).alias(f"c{b}")
+        for b in range(bits)
+    ]
+    per_doc = words.groupBy("doc_id").agg(*aggs)
+    fp = F.expr(
+        " + ".join(
+            f"IF(c{b} * 2 > n, {1 << (bits - 1 - b)}L, 0L)"
+            for b in range(bits)
         )
     )
+    return per_doc.select("doc_id", fp.alias("simhash"))
 
 
 def simhash_neardup_pairs(documents: DataFrame, bits: int = SIMHASH_BITS,
