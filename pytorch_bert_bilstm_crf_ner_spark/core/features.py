@@ -16,7 +16,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from .cut import cut_sent_for_bert, refactor_labels
-from .tags import CNER_TYPES, build_tag_vocab
+from .tags import CNER_TYPES, _tag_vocab_cached, build_tag_vocab  # noqa: F401
 
 PAD_ID, CLS_ID, SEP_ID = 0, 1, 2
 CHAR_OFFSET = 3
@@ -76,12 +76,15 @@ def encode_example(text: str, labels: list[tuple[str, str, int]],
     (`preprocess.py:113-129`); text longer than max_seq_len - 2 is
     truncated like encode_plus(truncation=True).
     """
-    ent2id = build_tag_vocab(cfg.types, cfg.scheme)
+    ent2id = _tag_vocab_cached(cfg.types, cfg.scheme)
     L = cfg.max_seq_len
     body = L - 2
+    # without fine_tokenize each "token" is exactly one char, so the
+    # sliced STRING serves as the token sequence (len/iteration/indexing
+    # all behave identically to list(text)[:body]) — no per-row list alloc
     tokens = (
-        fine_grade_tokenize(text) if cfg.fine_tokenize else list(text)
-    )[:body]
+        fine_grade_tokenize(text)[:body] if cfg.fine_tokenize else text[:body]
+    )
 
     label_ids = [0] * len(tokens)
     for etype, mention, start in labels:

@@ -547,13 +547,16 @@ def ivf_cosine_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
 
     # q_buckets is <= n_queries x nprobe rows: broadcast it so the
     # full-corpus assignment side is never shuffled by the 8-key
-    # centroid_id (a guaranteed-skew shuffle key)
+    # centroid_id (a guaranteed-skew shuffle key).  No distinct: IVF
+    # assigns every vector to EXACTLY ONE centroid and the nprobe ids per
+    # query are distinct by construction, so a (q, c) pair can only arise
+    # once — the dedup Exchange was a no-op (round-6; LSH keeps its
+    # distinct, where multi-table collisions are real).
     cand = (
         assigned.select("vec_id", "centroid_id")
         .join(F.broadcast(q_buckets), "centroid_id")
         .filter(F.col("vec_id") != F.col("q_id"))
         .select("q_id", F.col("vec_id").alias("c_id"))
-        .distinct()
     )
     scored = _rerank_candidates(cand, embeddings, dim)
     w = Window.partitionBy("q_id").orderBy(

@@ -57,23 +57,39 @@ def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(conv_id, turn_idx, wpos, word, start): every word of every turn with
-    its char offset — cumulative (len+1) window, the W3 running-offset
-    pattern (`scripts/server.py:77-82`)."""
+    its char offset.
+
+    Round-6 formulation: the offset is computed ROW-LOCALLY as
+    ``length(array_join(slice(words, 1, wpos), ' ')) + 1`` (0 for the
+    first word) — identical to the old cumulative (len+1) window because
+    joining the first wpos words with single spaces has length
+    sum(len)+wpos-1, so +1 gives sum(len(word)+1) exactly (any split
+    output, empty words included).  This deletes the per-(conv, turn)
+    window Exchange + sort from every _words consumer (dict_mentions,
+    entity_counts, cooccur, span_eval, training_features,
+    augmented_corpus); the twin keeps the equivalent window SQL."""
     t = _transcripts(spark, sf_dir)
-    w = Window.partitionBy("conv_id", "turn_idx").orderBy("wpos").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
     return (
         t.select(
             "conv_id",
             "turn_idx",
-            F.posexplode(F.split("text", " ")).alias("wpos", "word"),
+            F.split("text", " ").alias("w"),
         )
-        .withColumn(
-            "start",
-            F.coalesce(F.sum(F.length("word") + 1).over(w), F.lit(0)).cast("int"),
+        .select(
+            "conv_id",
+            "turn_idx",
+            "w",
+            F.posexplode("w").alias("wpos", "word"),
         )
-        .withColumn("wpos", F.col("wpos").cast("int"))
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.col("wpos").cast("int").alias("wpos"),
+            "word",
+            F.expr(
+                "IF(wpos = 0, 0, length(array_join(slice(w, 1, wpos), ' ')) + 1)"
+            ).cast("int").alias("start"),
+        )
     )
 
 
