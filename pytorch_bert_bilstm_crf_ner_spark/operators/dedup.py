@@ -585,6 +585,12 @@ def embedding_neardup_pairs(embeddings: DataFrame,
                     [], "vec_a BIGINT, vec_b BIGINT, cos_sim DOUBLE"
                 )
             dim = len(head[0]["embedding"])
+        # Candidate generation stays (vec_id, table, bucket) self-join +
+        # distinct: a leftmost-shared-table dedup (emit each pair from its
+        # first colliding table, no distinct Exchange) was tried in round
+        # 6 and REVERTED — carrying both 16-bucket arrays through 3.1M
+        # collision rows cost more than the 16-byte-pair distinct it saved
+        # (3.4s vs 1.9s at sf0.1; see OPTIMIZATION_r06.md).
         buckets = lsh_buckets(
             embeddings, dim=dim, n_planes=n_planes, n_tables=n_tables,
             seed=seed,
