@@ -754,36 +754,57 @@ def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _mid_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mid_data-shaped table derived from documents + the word tagger
-    (labels = dictionary mentions with exclusive ends)."""
-    m = _dict_mentions(spark, sf_dir)
-    labels = (
-        m.withColumn("doc_id", F.expr(_CONV_NUM_EXPR))
-        .groupBy("doc_id", "turn_idx")
-        .agg(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct("start", "mention", "type"))
-                ),
-                lambda s: F.struct(
-                    F.lit("T").alias("span_id"),
-                    s["type"].alias("type"),
-                    s["start"].alias("start"),
-                    (s["start"] + F.length(s["mention"])).cast("int").alias("end"),
-                    s["mention"].alias("mention"),
-                ),
-            ).alias("labels")
-        )
+    (labels = dictionary mentions with exclusive ends).
+
+    Round-6 single-pass formulation: the turn text rides along the words
+    explode and the dictionary join is LEFT (every turn has >= 1 word
+    row, so no turn is lost), so one grouped aggregation rebuilds
+    (text, labels) per turn — the former separate labels aggregation +
+    sort-merge join back to a second transcripts derivation (two scans,
+    three Exchanges) collapses to scan -> generate -> broadcast join ->
+    one grouped Exchange.  Identical rows: unmatched words contribute
+    NULL structs which collect_list skips (empty-label turns get []),
+    matched words contribute one struct per dictionary row — the same
+    multiplicity the old join produced."""
+    t = _transcripts(spark, sf_dir)
+    d = _single_word_dict(spark).select(
+        F.col("alias").alias("word"), "type"
     )
-    t = _transcripts(spark, sf_dir).withColumn(
-        "doc_id", F.expr(_CONV_NUM_EXPR)
-    )
-    return (
-        t.join(labels, ["doc_id", "turn_idx"], "left")
+    words = (
+        t.select("conv_id", "turn_idx", "text", F.split("text", " ").alias("w"))
         .select(
-            (F.col("doc_id") * 10000 + F.col("turn_idx")).alias("doc_id"),
-            "text",
-            F.coalesce("labels", F.array().cast(labels.schema["labels"].dataType)).alias("labels"),
+            "conv_id", "turn_idx", "text", "w",
+            F.posexplode("w").alias("wpos", "word"),
         )
+        .select(
+            "conv_id", "turn_idx", "text", "word",
+            F.expr(
+                "IF(wpos = 0, 0, length(array_join(slice(w, 1, wpos), ' ')) + 1)"
+            ).cast("int").alias("start"),
+        )
+    )
+    matched = words.join(F.broadcast(d), "word", "left")
+    lab_struct = F.when(
+        F.col("type").isNotNull(),
+        F.struct("start", F.col("word").alias("mention"), "type"),
+    )
+    grouped = matched.groupBy("conv_id", "turn_idx").agg(
+        F.first("text").alias("text"),
+        F.transform(
+            F.array_sort(F.collect_list(lab_struct)),
+            lambda s: F.struct(
+                F.lit("T").alias("span_id"),
+                s["type"].alias("type"),
+                s["start"].alias("start"),
+                (s["start"] + F.length(s["mention"])).cast("int").alias("end"),
+                s["mention"].alias("mention"),
+            ),
+        ).alias("labels"),
+    )
+    return grouped.select(
+        (F.expr(_CONV_NUM_EXPR) * 10000 + F.col("turn_idx")).alias("doc_id"),
+        "text",
+        "labels",
     )
 
 
