@@ -6,7 +6,7 @@
 registered query its DuckDB twin (tables pre-registered as views) —
 including the Arrow-batched CRF tagging UDF (generated Viterbi-DP SQL,
 `plans/viterbi_twin.py`) and iterative connected components
-(recursive CTE), so all 29 entries are hash-checked; rows-only checks no
+(recursive CTE), so all 30 entries are hash-checked; rows-only checks no
 longer exist.  `tests/test_spark_parity.py` additionally proves the
 pipeline exact against the single-process reference oracle.
 """

@@ -282,8 +282,8 @@ def simhash_expr(text_col: str = "text", bits: int = SIMHASH_BITS):
     a stateful operator, no watermark/output-mode constraints).  It is
     NOT the batch formulation: higher-order lambdas are interpreted, not
     codegen'd, and the honest forced-evaluation cost at sf0.1 (5,000
-    docs x ~54 words) is ~5.9 s vs ~2 s for :func:`simhash`'s
-    explode + map-side-combined aggregation.  (An earlier claim that
+    docs x ~54 words) is ~5.9 s vs ~0.7 s for :func:`simhash`'s
+    round-6 packed-hash single aggregation.  (An earlier claim that
     this fold was faster came from timing ``count()`` on the projection
     — Catalyst prunes the unused fingerprint column entirely; always
     force evaluation through an aggregate over the computed value when

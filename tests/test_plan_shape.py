@@ -61,9 +61,10 @@ def test_no_cartesian_product_in_registered_plans(spark, name):
 
 
 def test_simhash_shuffles_only_precombined_votes(spark):
-    """simhash is explode + two hash aggregations: the partial (map-side)
-    combine must keep shuffle volume at docs x bits pre-combined rows —
-    pinned as at most two Exchanges with hash aggregation present.  The
+    """simhash (round-6 form) is words-explode + ONE hash aggregation of
+    packed word hashes: the partial (map-side) combine must keep shuffle
+    volume at docs x (bits+1) pre-combined longs — pinned as at most two
+    Exchanges here (tests/test_r6_kernels.py pins exactly one).  The
     row-local HOF fold (simhash_expr) is NOT the batch plan: interpreted
     lambdas lost to codegen under forced-evaluation timing."""
     from pytorch_bert_bilstm_crf_ner_spark.operators.dedup import simhash
