@@ -100,6 +100,13 @@ def cooccurrence_evidence_preagg(
     already weighted; aggregate with SUM(n_evidence), MIN(turn_idx).
     """
     W = cfg.cooccur_window
+    # one conv_id repartition up front: HashPartitioning(conv_id)
+    # satisfies (subset rule) the per-turn groupBy, the cross-turn
+    # (conv_id, probe_turn) join, the same-turn self-join and their
+    # aggregations — every downstream Exchange of this function
+    # collapses into this single reused one (round-6; conv size is
+    # bounded so the partitioning cannot skew)
+    canonical_mentions = canonical_mentions.repartition(F.col("conv_id"))
     per_turn = canonical_mentions.groupBy(
         "conv_id", "turn_idx", "canonical_id"
     ).agg(F.count(F.lit(1)).alias("n_inst"))

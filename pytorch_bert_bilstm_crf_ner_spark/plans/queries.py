@@ -57,39 +57,32 @@ def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(conv_id, turn_idx, wpos, word, start): every word of every turn with
-    its char offset.
+    its char offset — cumulative (len+1) window, the W3 running-offset
+    pattern (`scripts/server.py:77-82`).
 
-    Round-6 formulation: the offset is computed ROW-LOCALLY as
-    ``length(array_join(slice(words, 1, wpos), ' ')) + 1`` (0 for the
-    first word) — identical to the old cumulative (len+1) window because
-    joining the first wpos words with single spaces has length
-    sum(len)+wpos-1, so +1 gives sum(len(word)+1) exactly (any split
-    output, empty words included).  This deletes the per-(conv, turn)
-    window Exchange + sort from every _words consumer (dict_mentions,
-    entity_counts, cooccur, span_eval, training_features,
-    augmented_corpus); the twin keeps the equivalent window SQL."""
+    Round-6 note: a window-free row-local variant (start =
+    ``length(array_join(slice(w, 1, wpos), ' ')) + 1``, provably equal)
+    was measured across all seven consumers at sf0.1 AND a 5x surrogate
+    and REVERTED: the Exchange it removes is also the pre-partitioning
+    every downstream aggregation reuses, and carrying the words array
+    through the Generate cost more than the shuffle saved (consumer
+    totals 19.3 s vs 24.4 s at 5x in the window's favor; worst single
+    case augmented_corpus 3.5 s vs 6.9 s).  See OPTIMIZATION_r06.md."""
     t = _transcripts(spark, sf_dir)
+    w = Window.partitionBy("conv_id", "turn_idx").orderBy("wpos").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
     return (
         t.select(
             "conv_id",
             "turn_idx",
-            F.split("text", " ").alias("w"),
+            F.posexplode(F.split("text", " ")).alias("wpos", "word"),
         )
-        .select(
-            "conv_id",
-            "turn_idx",
-            "w",
-            F.posexplode("w").alias("wpos", "word"),
+        .withColumn(
+            "start",
+            F.coalesce(F.sum(F.length("word") + 1).over(w), F.lit(0)).cast("int"),
         )
-        .select(
-            "conv_id",
-            "turn_idx",
-            F.col("wpos").cast("int").alias("wpos"),
-            "word",
-            F.expr(
-                "IF(wpos = 0, 0, length(array_join(slice(w, 1, wpos), ' ')) + 1)"
-            ).cast("int").alias("start"),
-        )
+        .withColumn("wpos", F.col("wpos").cast("int"))
     )
 
 
@@ -308,7 +301,15 @@ WHERE type NOT IN ('TITLE','EDU') AND obj_type IN ('TITLE','EDU')
 
 
 def q_cooccur_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    m = _dict_mentions(spark, sf_dir)
+    # ONE conv_id repartition feeds both join sides AND the final
+    # aggregation (round-6): HashPartitioning(conv_id) satisfies the
+    # ClusteredDistribution of the (conv_id, probe_turn) join and of the
+    # (conv_id, subj, obj) groupBy (subset rule), so the self-join and
+    # the aggregation run without further Exchanges and the two
+    # identical repartition exchanges are runtime-reused.  Conversations
+    # are bounded (~50 turns), so conv-hash partitioning cannot create a
+    # giant partition; AQE coalesces the column-repartition as usual.
+    m = _dict_mentions(spark, sf_dir).repartition(F.col("conv_id"))
     probe = m.select(
         "conv_id",
         F.col("turn_idx").alias("src_turn"),
@@ -756,55 +757,43 @@ def _mid_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mid_data-shaped table derived from documents + the word tagger
     (labels = dictionary mentions with exclusive ends).
 
-    Round-6 single-pass formulation: the turn text rides along the words
-    explode and the dictionary join is LEFT (every turn has >= 1 word
-    row, so no turn is lost), so one grouped aggregation rebuilds
-    (text, labels) per turn — the former separate labels aggregation +
-    sort-merge join back to a second transcripts derivation (two scans,
-    three Exchanges) collapses to scan -> generate -> broadcast join ->
-    one grouped Exchange.  Identical rows: unmatched words contribute
-    NULL structs which collect_list skips (empty-label turns get []),
-    matched words contribute one struct per dictionary row — the same
-    multiplicity the old join produced."""
-    t = _transcripts(spark, sf_dir)
-    d = _single_word_dict(spark).select(
-        F.col("alias").alias("word"), "type"
-    )
-    words = (
-        t.select("conv_id", "turn_idx", "text", F.split("text", " ").alias("w"))
-        .select(
-            "conv_id", "turn_idx", "text", "w",
-            F.posexplode("w").alias("wpos", "word"),
+    Two-pass on purpose: labels aggregate over the MATCHED mention rows
+    only (no text payload through the aggregation), then join back to
+    transcripts.  A round-6 single-pass variant (text riding the words
+    explode, LEFT dictionary join, one grouped aggregation) was measured
+    and REVERTED: it pushes every word row WITH its ~80-char turn text
+    through the partial aggregation — neutral at sf0.1 but ~45% slower
+    at 5x scale (2.82 s vs 1.94 s), because the aggregated row volume is
+    all-words x text instead of matched-mentions x ids."""
+    m = _dict_mentions(spark, sf_dir)
+    labels = (
+        m.withColumn("doc_id", F.expr(_CONV_NUM_EXPR))
+        .groupBy("doc_id", "turn_idx")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("start", "mention", "type"))
+                ),
+                lambda s: F.struct(
+                    F.lit("T").alias("span_id"),
+                    s["type"].alias("type"),
+                    s["start"].alias("start"),
+                    (s["start"] + F.length(s["mention"])).cast("int").alias("end"),
+                    s["mention"].alias("mention"),
+                ),
+            ).alias("labels")
         )
+    )
+    t = _transcripts(spark, sf_dir).withColumn(
+        "doc_id", F.expr(_CONV_NUM_EXPR)
+    )
+    return (
+        t.join(labels, ["doc_id", "turn_idx"], "left")
         .select(
-            "conv_id", "turn_idx", "text", "word",
-            F.expr(
-                "IF(wpos = 0, 0, length(array_join(slice(w, 1, wpos), ' ')) + 1)"
-            ).cast("int").alias("start"),
+            (F.col("doc_id") * 10000 + F.col("turn_idx")).alias("doc_id"),
+            "text",
+            F.coalesce("labels", F.array().cast(labels.schema["labels"].dataType)).alias("labels"),
         )
-    )
-    matched = words.join(F.broadcast(d), "word", "left")
-    lab_struct = F.when(
-        F.col("type").isNotNull(),
-        F.struct("start", F.col("word").alias("mention"), "type"),
-    )
-    grouped = matched.groupBy("conv_id", "turn_idx").agg(
-        F.first("text").alias("text"),
-        F.transform(
-            F.array_sort(F.collect_list(lab_struct)),
-            lambda s: F.struct(
-                F.lit("T").alias("span_id"),
-                s["type"].alias("type"),
-                s["start"].alias("start"),
-                (s["start"] + F.length(s["mention"])).cast("int").alias("end"),
-                s["mention"].alias("mention"),
-            ),
-        ).alias("labels"),
-    )
-    return grouped.select(
-        (F.expr(_CONV_NUM_EXPR) * 10000 + F.col("turn_idx")).alias("doc_id"),
-        "text",
-        "labels",
     )
 
 
