@@ -80,7 +80,12 @@ def banded_fingerprints(stream: DataFrame, bits: int = SIMHASH_BITS,
     streaming and batch candidate spaces are identical."""
     band_bits = bits // n_bands
     mask = (1 << band_bits) - 1
-    sig = stream.select(
+    # the stream schema allows null text/ts; a null row reaching the
+    # stateful matcher raises (NaT astype / None xor) and kills the
+    # query — drop them here, stateless and before any state is touched
+    sig = stream.filter(
+        F.col("text").isNotNull() & F.col("ts").isNotNull()
+    ).select(
         "doc_id", "ts", simhash_expr("text", bits).alias("simhash"))
     return sig.select(
         "doc_id", "ts", "simhash",
@@ -123,8 +128,15 @@ def _matcher(max_hamming: int, horizon_ms: int):
                 # this arrival's horizon must not produce a match
                 while entries and entries[0][2] < ts - horizon_ms:
                     entries.popleft()
-                for sdoc, ssim, _ in entries:
+                for sdoc, ssim, sts in entries:
                     if sdoc == doc:
+                        continue
+                    # front-of-deque eviction assumes near-ordered event
+                    # time; LATE data can meet stranded entries whose
+                    # event times are farther apart than the horizon —
+                    # enforce the horizon per candidate so eviction stays
+                    # a state-size optimization, not the correctness gate
+                    if abs(ts - sts) > horizon_ms:
                         continue
                     h = (sim ^ ssim).bit_count()
                     if h <= max_hamming:
@@ -152,11 +164,17 @@ def incremental_neardup(stream: DataFrame, max_hamming: int = 3,
         raise ValueError(
             f"exact recall needs max_hamming <= n_bands - 1 "
             f"(got {max_hamming} > {n_bands - 1})")
-    amount, unit = horizon.split()
-    unit_ms = {"seconds": 1_000, "second": 1_000,
-               "minutes": 60_000, "minute": 60_000,
-               "hours": 3_600_000, "hour": 3_600_000}[unit]
-    horizon_ms = int(amount) * unit_ms
+    unit_table = {"seconds": 1_000, "second": 1_000,
+                  "minutes": 60_000, "minute": 60_000,
+                  "hours": 3_600_000, "hour": 3_600_000}
+    parts = horizon.split()
+    if (len(parts) != 2 or not parts[0].lstrip("+").isdigit()
+            or parts[1] not in unit_table):
+        raise ValueError(
+            f"horizon must be '<positive int> "
+            f"<{'|'.join(sorted(set(unit_table)))}>', e.g. '30 minutes' "
+            f"(got {horizon!r})")
+    horizon_ms = int(parts[0]) * unit_table[parts[1]]
     bands = banded_fingerprints(stream, bits, n_bands)
     return bands.groupBy("band_id", "band_val").applyInPandasWithState(
         _matcher(max_hamming, horizon_ms),

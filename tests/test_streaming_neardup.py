@@ -145,3 +145,75 @@ def test_stream_neardup_state_survives_restart(spark, tmp_path):
         for r in out.collect()
     }
     assert streamed == batch  # includes every cross-restart pair
+
+
+def test_horizon_parse_rejects_malformed(spark):
+    """Round-6 loud-guard: malformed horizon strings raise a guided
+    ValueError (was a bare KeyError / unpacking error)."""
+    import pytest
+
+    from pytorch_bert_bilstm_crf_ner_spark.streaming.neardup import (
+        DOCUMENTS_STREAM_SCHEMA,
+        incremental_neardup,
+    )
+
+    empty = spark.createDataFrame([], DOCUMENTS_STREAM_SCHEMA)
+    for bad in ("1 day", "30minutes", "x minutes", "30 fortnights", ""):
+        with pytest.raises(ValueError, match="horizon"):
+            incremental_neardup(empty, horizon=bad)
+
+
+def test_null_rows_are_filtered_before_state(spark):
+    """A null text or ts row must be dropped by banded_fingerprints, not
+    reach the stateful matcher (where it would raise and kill the
+    query)."""
+    import datetime as dt
+
+    from pytorch_bert_bilstm_crf_ner_spark.streaming.neardup import (
+        DOCUMENTS_STREAM_SCHEMA,
+        banded_fingerprints,
+    )
+
+    rows = [
+        (1, "hello world", dt.datetime(2024, 1, 1, 10, 0)),
+        (2, None, dt.datetime(2024, 1, 1, 10, 0)),
+        (3, "hello world", None),
+    ]
+    df = spark.createDataFrame(rows, DOCUMENTS_STREAM_SCHEMA)
+    got = banded_fingerprints(df).select("doc_id").distinct().collect()
+    assert {r["doc_id"] for r in got} == {1}
+
+
+def test_matcher_enforces_horizon_on_late_data():
+    """Late (out-of-order) data may meet stranded entries whose event
+    times are farther apart than the horizon; the per-candidate check
+    must reject them while in-horizon pairs still match."""
+    import pandas as pd
+
+    from pytorch_bert_bilstm_crf_ner_spark.streaming.neardup import _matcher
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self.value = v
+
+    horizon_ms = 60_000
+    m = _matcher(max_hamming=3, horizon_ms=horizon_ms)
+    # doc 1 at t=10min, doc 2 (identical fingerprint) LATE at t=1min —
+    # 9 minutes apart, far beyond the 1-minute horizon.  Same batch, so
+    # front-eviction never fires (incoming is ts-sorted: doc 2 first).
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "simhash": [12345, 12345, 12345],
+        "ts": pd.to_datetime([
+            "2024-01-01 10:10:00",  # doc 1
+            "2024-01-01 10:01:00",  # doc 2, late
+            "2024-01-01 10:10:30",  # doc 3, within horizon of doc 1
+        ]),
+    })
+    out = list(m(("k",), iter([pdf]), FakeState()))
+    pairs = {(a, b) for a, b, _ in out[0].itertuples(index=False)}
+    assert (1, 3) in pairs          # 30 s apart -> match
+    assert (2, 1) not in pairs      # 9 min apart -> rejected
+    assert (2, 3) not in pairs
