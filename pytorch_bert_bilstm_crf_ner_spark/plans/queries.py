@@ -430,7 +430,14 @@ LEFT JOIN fn ON t.type = fn.type
 def q_kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.tagging import extract_mentions
 
-    return extract_mentions(_transcripts(spark, sf_dir))
+    # round-robin repartition before the model-forward UDF (the same
+    # parallelism rule as run_pipeline): the parquet scan yields a
+    # handful of byte-sized partitions and the CPU-bound tag stage would
+    # otherwise run on that few cores (round-6: 9.3 s -> ~3 s at sf0.1)
+    transcripts = _transcripts(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return extract_mentions(transcripts)
 
 
 def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
