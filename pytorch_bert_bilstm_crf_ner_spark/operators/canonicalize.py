@@ -29,6 +29,7 @@ def connected_components(
     materialize: str = "local_checkpoint",
     algorithm: str = "min_label",
     stats: dict | None = None,
+    driver_side_threshold: int | None = None,
 ) -> DataFrame:
     """edges(src bigint, dst bigint), undirected -> (id, component) with
     component = min id reachable.  ``vertices(id)`` adds isolated nodes.
@@ -67,6 +68,15 @@ def connected_components(
       executor-loss tolerance: the long-multi-round / 100 TB setting.
 
     ``stats``, if given, receives ``{"rounds": n}`` on return.
+
+    ``driver_side_threshold`` (round-6, opt-in, ``vertices is None``
+    only): the `canonical_entities` pattern — when the SYMMETRIZED edge
+    list fits under the limit-guarded collect, components are solved
+    with one collect + python union-find (min-id representative ==
+    min-label closure) instead of the iterative loops, replacing N
+    per-round jobs with one.  Over the threshold, the already-
+    materialized edge checkpoint feeds the distributed path unchanged —
+    the 100 TB shape is untouched.
     """
     if materialize not in ("local_checkpoint", "persist", "checkpoint"):
         raise ValueError(f"materialize: {materialize!r}")
@@ -94,6 +104,21 @@ def connected_components(
         .union(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
         .distinct()
     )
+    if driver_side_threshold and vertices is None:
+        rows = pinned_sym.limit(driver_side_threshold + 1).collect()
+        if len(rows) <= driver_side_threshold:
+            from ..core.entities import connected_components_py
+
+            ids = sorted({r["a"] for r in rows} | {r["b"] for r in rows})
+            cmap = connected_components_py(
+                ids, [(r["a"], r["b"]) for r in rows]
+            )
+            if stats is not None:
+                stats["rounds"] = 0
+            return edges.sparkSession.createDataFrame(
+                [(i, c) for i, c in cmap.items()],
+                "id BIGINT, component BIGINT",
+            )
     # verts BEFORE dropping self-loops: a node appearing only as (x, x)
     # must still be emitted (as its own component)
     verts = pinned_sym.select(F.col("a").alias("id")).distinct()

@@ -766,7 +766,11 @@ def neardup_clusters(embeddings: DataFrame, threshold: float = 0.95,
     edges = pairs.select(
         F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
     )
-    comp = connected_components(edges, algorithm=algorithm)
+    # bounded driver fast path (the canonical_entities pattern): a
+    # near-dup edge list under 1M rows is solved with one collect +
+    # union-find; bigger graphs take the distributed star loop unchanged
+    comp = connected_components(edges, algorithm=algorithm,
+                                driver_side_threshold=1_000_000)
     return comp.select(
         F.col("id").alias("vec_id"), F.col("component").alias("cluster_id")
     )
